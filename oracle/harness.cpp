@@ -1,0 +1,90 @@
+// Oracle-only instrumentation harness. Compiles AGAINST the read-only
+// reference tree (never shipped, never imported by the framework) to dump
+// intermediate values of the reference kernels so the framework's golden
+// model and TPU kernels can be validated bit-for-bit.
+//
+// Build (see oracle/build.sh):
+//   g++ -O2 -msse2 -I/root/reference harness.cpp \
+//       /root/reference/ssw_cpp.cpp /root/reference/sswNew.cpp -o bin/harness
+//
+// Modes:
+//   thresh  <rna.txt> <seg.txt>                -> calc_score_once score
+//   colmax  <rna.txt> <seg.txt>                -> ssw_pre_align scoreMatrix
+//   align   <rna.txt> <win.txt>                -> ssw_align result + cigar
+//   prealign <rna.txt> <seg.txt> <threshold>   -> clustered peak list
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "stats.h"      // reference threshold engine (calc_score_once)
+#include "ssw_cpp.h"    // reference SSW wrapper
+#include "ssw.h"
+
+static std::string slurp(const char* path) {
+    std::ifstream f(path);
+    std::stringstream ss;
+    ss << f.rdbuf();
+    std::string s = ss.str();
+    while (!s.empty() && (s.back() == '\n' || s.back() == '\r')) s.pop_back();
+    return s;
+}
+
+int main(int argc, char** argv) {
+    if (argc < 4) { fprintf(stderr, "usage: harness <mode> <rna> <seq> [thr]\n"); return 2; }
+    std::string mode = argv[1];
+    std::string rna = slurp(argv[2]);
+    std::string seq = slurp(argv[3]);
+
+    if (mode == "thresh") {
+        int score = calc_score_once(rna, seq, 0, 0);
+        printf("%d\n", score);
+        return 0;
+    }
+
+    StripedSmithWaterman::Aligner aligner;   // forked defaults 5/4/16/4
+    StripedSmithWaterman::Filter filter;
+    StripedSmithWaterman::Alignment alignment;
+
+    if (mode == "colmax") {
+        // Reproduce preAlign up to the raw scoreMatrix (ssw_cpp.cpp:388-457).
+        static const int8_t nt[128] = {
+            4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+            4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4, 4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,4,
+            4,0,4,1,4,4,4,2,4,4,4,4,4,4,4,4, 4,4,4,4,3,0,4,4,4,4,4,4,4,4,4,4,
+            4,0,4,1,4,4,4,2,4,4,4,4,4,4,4,4, 4,4,4,4,3,0,4,4,4,4,4,4,4,4,4,4};
+        static const int8_t mat[25] = {
+            5,-4,-4,-4,-4, -4,5,-4,-4,-4, -4,-4,5,-4,-4, -4,-4,-4,5,-4,
+            -4,-4,-4,-4,-4};
+        std::vector<int8_t> q(rna.size()), r(seq.size());
+        for (size_t i = 0; i < rna.size(); i++) q[i] = nt[(int)rna[i] & 127];
+        for (size_t i = 0; i < seq.size(); i++) r[i] = nt[(int)seq[i] & 127];
+        s_profile* prof = ssw_init(q.data(), (int)q.size(), mat, 5, 2);
+        int* sm = ssw_pre_align(prof, r.data(), (int)r.size(), 16, 4, 0x0f, 0,
+                                32767, 15, 0);
+        for (size_t i = 0; i < seq.size(); i++) printf("%d\n", sm[i]);
+        return 0;
+    }
+
+    if (mode == "prealign") {
+        int thr = atoi(argv[4]);
+        std::vector<StripedSmithWaterman::scoreInfo> peaks;
+        aligner.preAlign(rna.c_str(), seq.c_str(), (int)seq.size(), filter,
+                         &alignment, 15, thr, peaks, 5, -4);
+        for (auto& p : peaks) printf("%d %d\n", p.score, p.position);
+        return 0;
+    }
+
+    if (mode == "align") {
+        aligner.Align(rna.c_str(), seq.c_str(), (int)seq.size(), filter,
+                      &alignment, 15);
+        printf("%d %d %d %d %d %s\n", alignment.sw_score, alignment.query_begin,
+               alignment.query_end, alignment.ref_begin, alignment.ref_end,
+               alignment.cigar_string.c_str());
+        return 0;
+    }
+    fprintf(stderr, "unknown mode\n");
+    return 2;
+}
