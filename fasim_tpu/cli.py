@@ -1,0 +1,124 @@
+"""fasim-compatible command-line interface.
+
+Accepts the reference's flag surface (initEnv, Fasim-LongTarget.cpp:269-377):
+-f1 -f2 -O -r -c -m -t -d -i -S -ni -na -pc -pt -o -F -ds -lg -C (long form
+with single dash, getopt_long_only style) plus the short aliases from its
+optstring.  Numeric flags use atoi semantics (leading integer, 0 on garbage).
+
+Framework-native flags are prefixed with --tpu- and do not collide.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from .config import Params, TpuConfig
+
+
+def _atoi(s: str) -> int:
+    """C atoi: optional sign + leading digits, 0 otherwise."""
+    s = s.strip()
+    i = 0
+    if i < len(s) and s[i] in "+-":
+        i += 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    if j == i:
+        return 0
+    return int(s[:j])
+
+
+_VALUE_FLAGS = {
+    "f1": ("file1path", str), "f": ("file1path", str),
+    "f2": ("file2path", str), "s": ("file2path", str),
+    "O": ("outpath", str),
+    "r": ("rule", _atoi),
+    "c": ("cut_length", _atoi),
+    "m": ("min_score", _atoi),
+    "t": ("strand", _atoi),
+    "i": ("min_identity", _atoi),       # atoi despite float field (:340)
+    "S": ("min_stability", _atoi),      # atoi despite float field (:343)
+    "ni": ("nt_min", _atoi), "y": ("nt_min", _atoi),
+    "na": ("nt_max", _atoi), "z": ("nt_max", _atoi),
+    "pc": ("penalty_c", _atoi), "Y": ("penalty_c", _atoi),
+    "pt": ("penalty_t", _atoi), "Z": ("penalty_t", _atoi),
+    "o": ("overlap_length", _atoi),
+    "ds": ("c_distance", _atoi), "D": ("c_distance", _atoi),
+    "lg": ("c_length", _atoi), "E": ("c_length", _atoi),
+    "cn": ("corenum", _atoi), "C": ("corenum", _atoi),
+}
+
+
+def parse_args(argv: list[str]) -> tuple[Params, TpuConfig]:
+    p = Params()
+    tpu = TpuConfig()
+    i = 0
+    if not argv:
+        show_help()
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("-"):
+            i += 1
+            continue
+        name = a.lstrip("-")
+        if name == "h" or name == "help":
+            show_help()
+        elif name == "d":
+            p.detail_output = True
+            i += 1
+        elif name == "F":
+            p.do_fast_sim = False
+            i += 1
+        elif name.startswith("tpu-"):
+            key = name[4:].replace("-", "_")
+            if not hasattr(tpu, key):
+                sys.exit(f"unknown flag --{name}")
+            cur = getattr(tpu, key)
+            val = argv[i + 1]
+            setattr(tpu, key, type(cur)(val) if not isinstance(cur, bool)
+                    else val.lower() in ("1", "true", "yes"))
+            i += 2
+        elif name in _VALUE_FLAGS:
+            field, conv = _VALUE_FLAGS[name]
+            if i + 1 >= len(argv):
+                sys.exit(f"flag -{name} requires a value")
+            setattr(p, field, conv(argv[i + 1]))
+            i += 2
+        else:
+            sys.exit(f"unknown flag {a}")
+    return p, tpu
+
+
+def show_help() -> None:
+    print("fasim_tpu — TPU-native triplex scanner (Fasim-LongTarget "
+          "compatible)\n"
+          "usage: python -m fasim_tpu.cli -f1 DNA.fa -f2 RNA.fa -O outdir "
+          "[-r N] [-c 5000] [-t 0] [-o 100]\n"
+          "       [-i 60] [-S 1] [-ni 20] [-na 100000] [-pc 0] [-pt -1000] "
+          "[-ds 15] [-lg 50] [-F] [-C N]\n"
+          "TPU flags: --tpu-dp-devices N  --tpu-interpret true")
+    sys.exit(1)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .post.output import print_result
+    from .scan.pipeline import scan_file
+
+    p, _tpu = parse_args(sys.argv[1:] if argv is None else argv)
+    engine_name = "Fasim" if p.do_fast_sim else "Sim"
+    print(f"Searching triplexes using {engine_name}")
+    if not p.do_fast_sim:
+        sys.exit("error: the exact SIM engine (-F) is not implemented yet; "
+                 "rerun without -F to use the Fasim scan path")
+    records, lnc_name, rna, tlist = scan_file(p)
+    first = records[0]
+    print_result(p, first.species, lnc_name, tlist, first.chro_tag,
+                 len(first.seq), first.start_genome)
+    print("finished normally")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
