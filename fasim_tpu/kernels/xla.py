@@ -1,0 +1,101 @@
+"""Portable pure-XLA engine for the hot Smith-Waterman passes.
+
+Same contract and exact same int32 results as the Pallas kernel in
+`tpu.py` (and the NumPy golden in `batch_np.py`), expressed with
+`lax.scan` over reference columns and `lax.associative_scan` for the
+vertical-gap prefix max.  It compiles on every JAX backend, which makes it
+
+  * the CI target on CPU (Pallas interpret mode is slow and can wedge on
+    the host platform),
+  * the engine under the virtual-device mesh in `dist/` (multi-chip
+    sharding dry-runs shard the segment axis of exactly this function),
+  * a correct fallback wherever Mosaic is unavailable.
+
+The math mirrors `batch_np.numpy_engine` (see `ref.py` for the exactness
+argument vs the reference SSE2 kernels, stats.h:495-734 and
+sswNew.cpp:255-464): affine-gap SW, gap open 16 / extend 4, per-column
+maxima over the query axis including the striped byte kernel's phantom
+rows (< m16), byte-break applied as a post-op.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GAP_EXTEND, GAP_OPEN
+from ..rules import SSW_ENC, SSW_MAT, THRESH_ENC, THRESH_MAT
+from .tpu import apply_byte_break
+
+_NEG = -(2 ** 30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("m16",))
+def colmax_xla(codes: jax.Array, matq: jax.Array, *, m16: int) -> jax.Array:
+    """codes: int32[S, T, N] (pad rows score 0); matq: int32[C, Mp]
+    query profile.  Returns exact int32[S, T, N] column maxima."""
+    S, T, N = codes.shape
+    Mp = matq.shape[1]
+    go = jnp.int32(GAP_OPEN)
+    ge = jnp.int32(GAP_EXTEND)
+    idx = jnp.arange(Mp, dtype=jnp.int32)
+    fbias = idx * ge
+    foff = go + (idx - 1) * ge
+    real_row = idx < m16
+
+    def step(carry, code_col):
+        H, E = carry  # (S, T, Mp)
+        s_col = matq[code_col]  # (S, T, Mp)
+        E = jnp.maximum(E - ge, H - go)
+        diag = jnp.pad(H[..., :-1], ((0, 0), (0, 0), (1, 0)))
+        tmp = jnp.maximum(jnp.maximum(diag + s_col, E), 0)
+        run = jax.lax.associative_scan(jnp.maximum, tmp + fbias, axis=-1)
+        F = jnp.pad(run[..., :-1], ((0, 0), (0, 0), (1, 0)),
+                    constant_values=_NEG) - foff
+        H = jnp.maximum(tmp, F)
+        cm = jnp.max(jnp.where(real_row, H, 0), axis=-1)  # (S, T)
+        return (H, E), cm
+
+    init = (jnp.zeros((S, T, Mp), jnp.int32), jnp.zeros((S, T, Mp), jnp.int32))
+    _, cms = jax.lax.scan(step, init, jnp.moveaxis(codes, -1, 0))
+    return jnp.moveaxis(cms, 0, -1)
+
+
+class XlaScanEngine:
+    """numpy_engine-contract engine running as one jitted XLA program."""
+
+    def __init__(self, rna: np.ndarray):
+        m = len(rna)
+        self.m16 = _round_up(m, 16)
+        mp = self.m16  # no lane-alignment constraint outside Pallas
+
+        def make_matq(enc, mat):
+            q = enc[rna]
+            mq = np.zeros((mat.shape[1] + 1, mp), np.int32)
+            mq[:-1, :m] = mat[q].T  # phantom rows and the pad code score 0
+            return jnp.asarray(mq)
+
+        self.matq_ssw = make_matq(SSW_ENC, SSW_MAT)
+        self.matq_thresh = make_matq(THRESH_ENC, THRESH_MAT)
+
+    def colmax_batch(self, codes: np.ndarray, which: str) -> np.ndarray:
+        matq = self.matq_ssw if which == "ssw" else self.matq_thresh
+        out = colmax_xla(jnp.asarray(codes, jnp.int32), matq, m16=self.m16)
+        return np.asarray(jax.device_get(out))
+
+    def __call__(self, rna: np.ndarray, seq2_list: list[np.ndarray]
+                 ) -> tuple[np.ndarray, np.ndarray]:
+        seq2 = np.stack(seq2_list)
+        thresh_cm = self.colmax_batch(
+            THRESH_ENC[seq2].astype(np.int32)[None], "thresh")[0]
+        scan_cm = self.colmax_batch(
+            SSW_ENC[seq2].astype(np.int32)[None], "ssw")[0]
+        thresh = thresh_cm.max(axis=1).astype(np.int32)
+        return thresh, apply_byte_break(scan_cm)
