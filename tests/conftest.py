@@ -3,12 +3,19 @@ import subprocess
 import sys
 
 # Force the CPU backend with a virtual 8-device mesh for all tests: multi-chip
-# sharding is validated without TPU hardware (SURVEY.md §4).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+# sharding is validated without TPU hardware (SURVEY.md §4).  The axon
+# sitecustomize initializes the TPU backend before conftest runs, so the
+# backends must be cleared and re-pinned to CPU — tests must not depend on
+# (or spend) TPU time.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+import jax.extend.backend as _jeb  # noqa: E402
+
+_jeb.clear_backends()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,3 +40,12 @@ def harness():
     if not os.path.isdir(REFERENCE):
         pytest.skip("reference tree not available")
     return oracle_bin("harness")
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_backend():
+    """Tests must run on the virtual CPU mesh, never on TPU time."""
+    import jax
+
+    assert jax.default_backend() == "cpu", jax.devices()
+    assert len(jax.devices()) == 8
