@@ -1,46 +1,50 @@
 """Pallas TPU kernel for the hot Smith-Waterman passes.
 
-One kernel serves both engines (SURVEY.md §2.a): it computes exact int32
-per-column maxima of the affine-gap SW matrix for a batch of T transformed
-references against one query, gridded over segments.  The threshold pass
-(stats.h calc_score_once) is the column-max maximum; the scan pass
-(sswNew.cpp sw_sse2_byte_once) is the column-max vector with the
-byte-saturation break applied as a post-op.
+One kernel serves both engines (SURVEY.md §2.a): exact int32 per-column
+maxima of the affine-gap SW matrix.  The scan pass (sswNew.cpp
+sw_sse2_byte_once) consumes the column maxima directly (byte-saturation
+break applied as a host post-op); the threshold pass (stats.h
+calc_score_once) reduces them to a global max on host.
 
 Design notes (TPU-first, not a translation of the SSE2 kernels):
 
-  * Layout: H/E state is (T, Mp) — transforms on sublanes, query on lanes.
-    Each step advances every transform's DP by one reference column; all
-    work is VPU elementwise plus one tiny MXU matmul for the profile
-    gather (one-hot(code) @ matq).
+  * Layout: H/E state is (T, Mp) — (segment, transform) pairs on sublanes,
+    query on lanes.  Segments are *packed* into the sublane axis together
+    with the 48 rule transforms (each sublane row is an independent DP),
+    so one kernel instance advances hundreds of alignments per column and
+    every VPU op is amortized over a large register set.
   * Reference columns stream through the pallas grid in 128-lane chunks
     (grid = (S, N/128)); the DP state lives in VMEM scratch across grid
     steps.  Within a chunk the current column is always lane 0 of a
-    roll-carried register, and column maxima are rolled into an output
-    register — no dynamic lane indexing anywhere (Mosaic requires
-    128-aligned lane slices).
+    roll-carried register — no dynamic lane indexing anywhere (Mosaic
+    requires 128-aligned lane slices).
+  * The substitution score is computed arithmetically from the reference
+    codes and precomputed query-property rows (compare/select ops), not
+    via a profile-matrix matmul: both score matrices are "match/mismatch
+    + special rows" shaped, so 4-7 VPU ops beat an MXU gather serialized
+    into the recurrence.
   * The vertical-gap F is resolved with a log-depth prefix max over
-    (tmp + i*ge) — exact, data-independent, no lazy-F loop.  For the scan
-    pass the prefix window is 64 lanes: every cell at or before the
-    byte-break column is <= 255 (the break fires at the first column max
-    >= 251, and a column max can grow at most +match per column), so an
-    F contribution can beat tmp >= 0 only within (255-16)/4 < 60
-    positions; post-break columns are masked to zero on host anyway.
+    (tmp + i*ge).  A 64-lane window is exact whenever every live cell is
+    < 251: an F contribution can beat tmp >= 0 only within
+    (250-16)/4 < 59 positions of its source.  For the scan pass this
+    holds through the byte-break column (cells there are <= 255 and the
+    window covers 63), matching the reference byte kernel's recorded
+    columns.  For the threshold pass the host re-runs pairs whose
+    windowed max reaches 251 with a full-length prefix — the exact
+    analogue of the reference's byte -> word escalation
+    (stats.h:948-951): windowed == exact until the first >=251 cell, so
+    "windowed max < 251" proves exactness.
   * Striped-pad parity: the reference byte kernel pads the query to
-    ceil(M/16)*16 phantom positions with zero profile whose cells feed the
-    recorded column maxima; we allocate exactly those phantom rows and mask
-    the column-max reduction at Mp16, so extra lane-alignment padding
-    (to a multiple of 128) cannot leak in.  Influence flows only upward in
-    query index, so alignment pads never perturb real cells.
-  * The byte-break rule (stop before recording the first column whose max
-    reaches 251, sswNew.cpp:384-386) is applied after the fact: the break
-    column is the first with colmax >= 251 — before it the two runs agree,
-    from it the reference records zeros.  No data-dependent control flow
-    on device.
-  * Ragged segments: reference columns are padded (to a multiple of 128)
-    with an out-of-alphabet code whose one-hot row is all-zero => profile
-    0; score-0 columns can only carry existing maxima diagonally, never
-    raise them, and the padded tail of colmax is sliced off on host.
+    ceil(M/16)*16 phantom positions with zero profile whose cells feed
+    the recorded column maxima; phantom lanes score 0 and the column-max
+    reduction is masked at m16, so lane-alignment padding (to a multiple
+    of 128) cannot leak in.  Influence flows only upward in query index,
+    so alignment pads never perturb real cells.
+  * Ragged segments: reference columns are right-padded (to a multiple of
+    128) with an out-of-alphabet code that scores like a mismatch; local
+    maxima are non-increasing under all-mismatch columns and the padded
+    tail is sliced off on host, so padding cannot change any reported
+    value.
 """
 
 from __future__ import annotations
@@ -54,19 +58,75 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import BYTE_SAT, GAP_EXTEND, GAP_OPEN
-from ..rules import SSW_ENC, SSW_MAT, THRESH_ENC, THRESH_MAT
+from ..rules import SSW_ENC, THRESH_ENC
 
 _NEG = -(2 ** 30)
 _CHUNK = 128
+_FULL_WIN = 1 << 30
+
+# number of (segment x transform) DP rows packed into the sublane axis of
+# one kernel instance; 384 rows x ~3k lanes of int32 state fits VMEM with
+# room for the streamed code chunks
+PACK_ROWS = 384
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _colmax_kernel(codes_ref, matq_ref, out_ref, h_ref, e_ref, *,
-                   n_codes: int, m16: int, fwin: int):
-    """One grid step: colmax for T transforms over one 128-column chunk."""
+def _score_col(code, qprops_ref, engine: str):
+    """Substitution-score column (T, Mp) for the current ref codes (T, 1).
+
+    qprops rows (int32, precomputed per query):
+      0: query code per lane (-1 beyond the real query)
+      1: ssw: (q < 4) & valid;  thresh: (q in {T,U}) & valid
+      2: thresh: (q == N) & valid
+      3: valid (lane < m)
+    """
+    q = qprops_ref[0:1, :]
+    maska = qprops_ref[1:2, :] != 0
+    valid = qprops_ref[3:4, :] != 0
+    eq = code == q
+    five = jnp.int32(5)
+    neg4 = jnp.int32(-4)
+    if engine == "ssw":
+        s = jnp.where(eq & maska, five, neg4)
+    else:
+        rtu = (code == 3) | (code == 4)
+        rn = code == 5
+        qn = qprops_ref[2:3, :] != 0
+        eq2 = eq | (maska & rtu)
+        s = jnp.where(qn | rn, jnp.int32(-1),
+                      jnp.where(eq2, five, neg4))
+    return jnp.where(valid, s, 0)
+
+
+def _dp_col(code, qprops_ref, h_ref, e_ref, idx, fbias, foff, go, ge,
+            engine: str, fwin: int, Mp: int):
+    """One reference-column DP update; returns the new H row."""
+    s_col = _score_col(code, qprops_ref, engine)
+    hp = h_ref[:]
+    ep = e_ref[:]
+    ev = jnp.maximum(ep - ge, hp - go)
+    diag_r = pltpu.roll(hp, shift=1, axis=1)
+    diag = jnp.where(idx >= 1, diag_r, 0)
+    tmp = jnp.maximum(jnp.maximum(diag + s_col, ev), 0)
+    run = tmp + fbias
+    k = 1
+    while k < min(fwin, Mp):
+        r = pltpu.roll(run, shift=k, axis=1)
+        run = jnp.maximum(run, jnp.where(idx >= k, r, 0))
+        k *= 2
+    fv = jnp.where(idx >= 1, pltpu.roll(run, shift=1, axis=1), _NEG) - foff
+    hn = jnp.maximum(tmp, fv)
+    h_ref[:] = hn
+    e_ref[:] = ev
+    return hn
+
+
+def _scan_kernel(codes_ref, qprops_ref, out_ref, h_ref, e_ref, *,
+                 m16: int, fwin: int, engine: str):
+    """Per-column maxima for T rows over one 128-column chunk."""
     T = codes_ref.shape[1]
     Mp = h_ref.shape[1]
     go = jnp.int32(GAP_OPEN)
@@ -81,40 +141,17 @@ def _colmax_kernel(codes_ref, matq_ref, out_ref, h_ref, e_ref, *,
     fbias = idx * ge
     foff = go + (idx - 1) * ge
     real_row = idx < m16  # phantom rows < m16 count; alignment pads don't
-    cls = jax.lax.broadcasted_iota(jnp.int32, (T, n_codes), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, _CHUNK), 1)
 
-    def shift1(x, fill):
-        r = pltpu.roll(x, shift=1, axis=1)
-        return jnp.where(idx >= 1, r, fill)
-
-    def prefix_max(x):
-        k = 1
-        while k < min(fwin, Mp):
-            r = pltpu.roll(x, shift=k, axis=1)
-            x = jnp.maximum(x, jnp.where(idx >= k, r, 0))
-            k *= 2
-        return x
-
-    def col(_, carry):
+    def col(k, carry):
         chunk, cmacc = carry
-        code = chunk[:, 0:1]  # (T, 1) — current column's codes
-        onehot = (code == cls).astype(jnp.float32)
-        s_col = jnp.dot(onehot, matq_ref[:],
-                        preferred_element_type=jnp.float32).astype(jnp.int32)
-        hp = h_ref[:]
-        ep = e_ref[:]
-        ev = jnp.maximum(ep - ge, hp - go)
-        diag = shift1(hp, 0)
-        tmp = jnp.maximum(jnp.maximum(diag + s_col, ev), 0)
-        run = prefix_max(tmp + fbias)
-        fv = shift1(run, _NEG) - foff
-        hn = jnp.maximum(tmp, fv)
-        h_ref[:] = hn
-        e_ref[:] = ev
+        code = chunk[:, 0:1]
+        hn = _dp_col(code, qprops_ref, h_ref, e_ref, idx, fbias, foff,
+                     go, ge, engine, fwin, Mp)
         cm = jnp.max(jnp.where(real_row, hn, 0), axis=1, keepdims=True)
-        cmacc = jnp.where(lane == _CHUNK - 1, cm,
-                          pltpu.roll(cmacc, shift=_CHUNK - 1, axis=1))
+        # select-by-index emission: a rolled accumulator would serialize a
+        # cross-lane permute into every column (measured 7x slower)
+        cmacc = jnp.where(lane == k, cm, cmacc)
         chunk = pltpu.roll(chunk, shift=_CHUNK - 1, axis=1)
         return chunk, cmacc
 
@@ -126,21 +163,21 @@ def _colmax_kernel(codes_ref, matq_ref, out_ref, h_ref, e_ref, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("m16", "n_codes", "fwin", "interpret"))
-def _colmax_call(codes, matq, *, m16: int, n_codes: int, fwin: int,
+                   static_argnames=("m16", "fwin", "engine", "interpret"))
+def _kernel_call(codes, qprops, *, m16: int, fwin: int, engine: str,
                  interpret: bool = False):
-    """codes: int32[S, T, Np]; matq: f32[n_codes, Mp].  -> int32[S, T, Np]."""
+    """codes: int32[S, T, Np]; qprops: int32[4, Mp] -> int32[S, T, Np]."""
     S, T, Np = codes.shape
-    Mp = matq.shape[1]
-    kernel = functools.partial(_colmax_kernel, n_codes=n_codes, m16=m16,
-                               fwin=fwin)
+    Mp = qprops.shape[1]
+    kernel = functools.partial(_scan_kernel, m16=m16, fwin=fwin,
+                               engine=engine)
     return pl.pallas_call(
         kernel,
         grid=(S, Np // _CHUNK),
         in_specs=[
             pl.BlockSpec((1, T, _CHUNK), lambda s, c: (s, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_codes, Mp), lambda s, c: (0, 0),
+            pl.BlockSpec((4, Mp), lambda s, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T, _CHUNK), lambda s, c: (s, 0, c),
@@ -151,61 +188,196 @@ def _colmax_call(codes, matq, *, m16: int, n_codes: int, fwin: int,
             pltpu.VMEM((T, Mp), jnp.int32),
         ],
         interpret=interpret,
-    )(codes, matq)
+    )(codes, qprops)
 
 
 class TpuScanEngine:
     """Engine with the numpy_engine contract plus a batched-segments API.
 
-    Per query it caches the two encoded profiles; per segment batch it
-    launches one kernel per engine (threshold / scan alphabets differ and
-    must not be unified, SURVEY.md §3.3).
+    Per query it caches the two query-property arrays; per segment batch
+    it launches one kernel per engine (threshold / scan alphabets differ
+    and must not be unified, SURVEY.md §3.3).
     """
 
-    def __init__(self, rna: np.ndarray, interpret: bool = False):
+    def __init__(self, rna: np.ndarray, interpret: bool = False,
+                 pack_rows: int = 0):
         self.interpret = interpret
         m = len(rna)
+        self.m = m
         self.m16 = _round_up(m, 16)
         mp = _round_up(self.m16, 128)
         self.mp = mp
+        if pack_rows <= 0:
+            # two (R, Mp) int32 scratch buffers plus ~5 live compiler
+            # temporaries of the same shape must fit scoped VMEM (16 MB)
+            pack_rows = min(PACK_ROWS, 14_000_000 // (7 * mp * 4) // 8 * 8)
+        self.pack_rows = max(8, pack_rows)
 
-        def make_matq(enc, mat):
-            q = enc[rna]
-            mq = np.zeros((mat.shape[1], mp), np.float32)
-            mq[:, :m] = mat[q].T  # query profile; phantom/pad rows 0
-            return jnp.asarray(mq)
+        def make_qprops(enc, maska_fn, qn_fn):
+            q = enc[rna].astype(np.int32)
+            props = np.zeros((4, mp), np.int32)
+            props[0, :m] = q
+            props[0, m:] = -1
+            props[1, :m] = maska_fn(q)
+            props[2, :m] = qn_fn(q)
+            props[3, :m] = 1
+            return jnp.asarray(props)
 
-        self.matq_ssw = make_matq(SSW_ENC, SSW_MAT)
-        self.matq_thresh = make_matq(THRESH_ENC, THRESH_MAT)
+        self.qprops_ssw = make_qprops(
+            SSW_ENC, lambda q: q < 4, lambda q: 0)
+        self.qprops_thresh = make_qprops(
+            THRESH_ENC, lambda q: (q == 3) | (q == 4), lambda q: q == 5)
+        self._scan_luts = None
 
-    def colmax_batch(self, codes: np.ndarray, which: str) -> np.ndarray:
-        """codes int[S, T, N] (pad = n_codes) -> colmax int32[S, T, N]."""
-        matq = self.matq_ssw if which == "ssw" else self.matq_thresh
-        n_codes = matq.shape[0]
+    def setup_scans(self, scans: list[dict]) -> None:
+        """Precompute composed (rule transform ∘ encoder) LUTs for the
+        device-side transform building of scan_segments."""
+        from .. import rules
+
+        t = len(scans)
+        lut_s = np.empty((t, 256), np.uint8)
+        lut_t = np.empty((t, 256), np.uint8)
+        is_tr = np.zeros(t, bool)
+        for k, sc in enumerate(scans):
+            rl = rules.transfer_lut(sc["strand"], sc["para"], sc["rule"])
+            lut_s[k] = SSW_ENC[rl].astype(np.uint8)
+            lut_t[k] = THRESH_ENC[rl].astype(np.uint8)
+            is_tr[k] = sc["xform"] == "tr"
+        self._scan_luts = (jnp.asarray(lut_s), jnp.asarray(lut_t),
+                           jnp.asarray(is_tr))
+
+    def scan_segments(self, segs: np.ndarray, lengths: np.ndarray,
+                      full_prefix: bool = False):
+        """Device-side scan of raw segments (uint8[S, N], N % 128 == 0,
+        pad byte 0).  Returns JAX arrays (thresh int32[S, T], scan colmax
+        uint8[S, T, N]) — the caller device_gets them, enabling async
+        batch pipelining.  Caller must check thresh >= BYTE_SAT and rerun
+        with full_prefix=True for exact escalated thresholds."""
+        lut_s, lut_t, is_tr = self._scan_luts
+        return _device_scan(
+            jnp.asarray(segs), jnp.asarray(lengths, jnp.int32),
+            lut_s, lut_t, is_tr, self.qprops_ssw, self.qprops_thresh,
+            m16=self.m16, pack=self.pack_rows,
+            fwin_t=_FULL_WIN if full_prefix else 64,
+            interpret=self.interpret)
+
+    def _call(self, codes, which, fwin):
+        qprops = self.qprops_ssw if which == "ssw" else self.qprops_thresh
+        out = _kernel_call(jnp.asarray(codes, jnp.int32), qprops,
+                           m16=self.m16, fwin=fwin, engine=which,
+                           interpret=self.interpret)
+        return np.asarray(jax.device_get(out))
+
+    @staticmethod
+    def _pad_cols(codes: np.ndarray, pad_code: int) -> np.ndarray:
         S, T, N = codes.shape
         Np = _round_up(N, _CHUNK)
-        if Np != N:
-            padded = np.full((S, T, Np), n_codes, codes.dtype)
-            padded[:, :, :N] = codes
-            codes = padded
-        # scan pass: F-window 64 is exact through the byte-break column
-        # (module docstring); threshold pass needs the full prefix.
-        fwin = 64 if which == "ssw" else 1 << 30
-        out = _colmax_call(jnp.asarray(codes, jnp.int32), matq,
-                           m16=self.m16, n_codes=n_codes, fwin=fwin,
-                           interpret=self.interpret)
-        return np.asarray(jax.device_get(out))[:, :, :N]
+        if Np == N:
+            return codes
+        padded = np.full((S, T, Np), pad_code, codes.dtype)
+        padded[:, :, :N] = codes
+        return padded
+
+    def _pack(self, codes: np.ndarray) -> tuple[np.ndarray, int, int]:
+        """Pack (S, T, Np) into (ceil(S*T/R), R, Np) sublane rows."""
+        S, T, Np = codes.shape
+        rows = S * T
+        R = min(self.pack_rows, _round_up(rows, 8))
+        rp = _round_up(rows, R)
+        flat = codes.reshape(rows, Np)
+        if rp != rows:
+            flat = np.concatenate(
+                [flat, np.repeat(flat[-1:], rp - rows, axis=0)])
+        return flat.reshape(rp // R, R, Np), S, T
+
+    def colmax_batch(self, codes: np.ndarray, which: str) -> np.ndarray:
+        """codes int[S, T, N] (pad = out-of-alphabet code) -> int32[S, T, N]
+        column maxima (exact through the byte-break column for 'ssw')."""
+        S, T, N = codes.shape
+        padded = self._pad_cols(codes, 5 if which == "ssw" else 6)
+        packed, S0, T0 = self._pack(padded)
+        out = self._call(packed, which, 64)
+        out = out.reshape(-1, padded.shape[2])[:S * T].reshape(
+            S, T, padded.shape[2])
+        return out[:, :, :N]
+
+    def max_batch(self, codes: np.ndarray, which: str) -> np.ndarray:
+        """codes int[S, T, N] -> exact global SW max int32[S, T], with the
+        byte->word style escalation for windowed-prefix overflow."""
+        S, T, N = codes.shape
+        padded = self._pad_cols(codes, 5 if which == "ssw" else 6)
+        packed, _, _ = self._pack(padded)
+        cm = self._call(packed, which, 64)
+        gm = cm.reshape(-1, cm.shape[2])[:S * T, :N].max(axis=1)
+        gm = gm.reshape(S, T)
+        if (gm >= BYTE_SAT).any():
+            # escalate: windowed == exact only while all cells < 251
+            cm = self._call(packed, which, _FULL_WIN)
+            gm = cm.reshape(-1, cm.shape[2])[:S * T, :N].max(axis=1)
+            gm = gm.reshape(S, T)
+        return gm.astype(np.int32)
 
     def __call__(self, rna: np.ndarray, seq2_list: list[np.ndarray]
                  ) -> tuple[np.ndarray, np.ndarray]:
         """numpy_engine-compatible single-segment entry."""
         seq2 = np.stack(seq2_list)
-        thresh_codes = THRESH_ENC[seq2].astype(np.int32)[None]
-        ssw_codes = SSW_ENC[seq2].astype(np.int32)[None]
-        thresh_cm = self.colmax_batch(thresh_codes, "thresh")[0]
-        scan_cm = self.colmax_batch(ssw_codes, "ssw")[0]
-        thresh = thresh_cm.max(axis=1).astype(np.int32)
-        return thresh, apply_byte_break(scan_cm)
+        thresh = self.max_batch(
+            THRESH_ENC[seq2].astype(np.int32)[None], "thresh")[0]
+        scan_cm = self.colmax_batch(
+            SSW_ENC[seq2].astype(np.int32)[None], "ssw")[0]
+        return thresh.astype(np.int32), apply_byte_break(scan_cm)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m16", "pack", "fwin_t", "interpret"))
+def _device_scan(segs, lengths, lut_s, lut_t, is_tr, qprops_s, qprops_t,
+                 *, m16: int, pack: int, fwin_t: int,
+                 interpret: bool = False):
+    """Full device-side scan step for a batch of raw DNA segments.
+
+    segs: uint8[S, N] raw segment bytes (N multiple of 128, pad byte 0 —
+    it maps to 'N' codes, whose strictly negative scores cannot raise any
+    column max); lengths: int32[S] real segment lengths; lut_*: uint8[T,
+    256] composed (rule transform ∘ encoder) tables; is_tr: bool[T] rows
+    whose transform is reversed (rules REV orientation — elementwise LUTs
+    commute with reversal).
+
+    Returns (thresh int32[S, T], scan colmax uint8[S, T, N] clamped at
+    255).  Everything the host consumes from the scan pass is < 251
+    (byte-break) so the clamp is lossless; the threshold max is exact
+    int32.  Building the 48 transforms on device means only ~N bytes per
+    segment cross the host link instead of 2 x 48 x N x 4.
+    """
+    S, N = segs.shape
+    T = lut_s.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    ridx = jnp.where(pos[None, :] < lengths[:, None],
+                     lengths[:, None] - 1 - pos[None, :], pos[None, :])
+    seg_rev = jnp.take_along_axis(segs, ridx, axis=1)
+    sel = jnp.where(is_tr[None, :, None], seg_rev[:, None, :],
+                    segs[:, None, :])  # (S, T, N) uint8
+
+    def apply_lut(lut):
+        gathered = jax.vmap(lambda l, x: l[x.astype(jnp.int32)],
+                            in_axes=(0, 1), out_axes=1)(lut, sel)
+        return gathered.astype(jnp.int32)
+
+    def run(codes, qprops, engine, fwin):
+        flat = codes.reshape(S * T, N)
+        rows = S * T
+        rp = _round_up(rows, pack)
+        if rp != rows:
+            flat = jnp.concatenate(
+                [flat, jnp.broadcast_to(flat[-1:], (rp - rows, N))])
+        packed = flat.reshape(rp // pack, pack, N)
+        cm = _kernel_call(packed, qprops, m16=m16, fwin=fwin,
+                          engine=engine, interpret=interpret)
+        return cm.reshape(rp, N)[:rows].reshape(S, T, N)
+
+    thresh_cm = run(apply_lut(lut_t), qprops_t, "thresh", fwin_t)
+    scan_cm = run(apply_lut(lut_s), qprops_s, "ssw", 64)
+    thresh = thresh_cm.max(axis=-1)
+    return thresh, jnp.minimum(scan_cm, 255).astype(jnp.uint8)
 
 
 def apply_byte_break(colmax: np.ndarray) -> np.ndarray:

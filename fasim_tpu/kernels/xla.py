@@ -84,11 +84,55 @@ class XlaScanEngine:
 
         self.matq_ssw = make_matq(SSW_ENC, SSW_MAT)
         self.matq_thresh = make_matq(THRESH_ENC, THRESH_MAT)
+        self._scan_luts = None
+
+    def setup_scans(self, scans: list[dict]) -> None:
+        """Same composed-LUT contract as TpuScanEngine.setup_scans."""
+        from .. import rules
+
+        t = len(scans)
+        lut_s = np.empty((t, 256), np.uint8)
+        lut_t = np.empty((t, 256), np.uint8)
+        is_tr = np.zeros(t, bool)
+        for k, sc in enumerate(scans):
+            rl = rules.transfer_lut(sc["strand"], sc["para"], sc["rule"])
+            lut_s[k] = SSW_ENC[rl].astype(np.uint8)
+            lut_t[k] = THRESH_ENC[rl].astype(np.uint8)
+            is_tr[k] = sc["xform"] == "tr"
+        self._scan_luts = (lut_s, lut_t, is_tr)
+
+    def scan_segments(self, segs: np.ndarray, lengths: np.ndarray,
+                      full_prefix: bool = False):
+        """CPU/XLA equivalent of TpuScanEngine.scan_segments: builds the
+        transform codes with the same reversal-index semantics, runs the
+        exact XLA kernel, returns (thresh int32[S, T], colmax uint8[S, T,
+        N] clamped at 255).  Always exact — full_prefix is accepted for
+        interface parity."""
+        lut_s, lut_t, is_tr = self._scan_luts
+        S, N = segs.shape
+        pos = np.arange(N)
+        ridx = np.where(pos[None, :] < lengths[:, None],
+                        lengths[:, None] - 1 - pos[None, :], pos[None, :])
+        seg_rev = np.take_along_axis(segs, ridx, axis=1)
+        sel = np.where(is_tr[None, :, None], seg_rev[:, None, :],
+                       segs[:, None, :])
+        codes_t = np.take_along_axis(
+            lut_t[None, :, :], sel.astype(np.int64), axis=2).astype(np.int32)
+        codes_s = np.take_along_axis(
+            lut_s[None, :, :], sel.astype(np.int64), axis=2).astype(np.int32)
+        thresh = self.max_batch(codes_t, "thresh")
+        cm = self.colmax_batch(codes_s, "ssw")
+        return thresh, np.minimum(cm, 255).astype(np.uint8)
 
     def colmax_batch(self, codes: np.ndarray, which: str) -> np.ndarray:
         matq = self.matq_ssw if which == "ssw" else self.matq_thresh
         out = colmax_xla(jnp.asarray(codes, jnp.int32), matq, m16=self.m16)
         return np.asarray(jax.device_get(out))
+
+    def max_batch(self, codes: np.ndarray, which: str) -> np.ndarray:
+        """Exact global SW max int32[S, T] (the XLA colmax is exact for
+        every column — full-length prefix scan, no escalation needed)."""
+        return self.colmax_batch(codes, which).max(axis=-1).astype(np.int32)
 
     def __call__(self, rna: np.ndarray, seq2_list: list[np.ndarray]
                  ) -> tuple[np.ndarray, np.ndarray]:
