@@ -102,17 +102,43 @@ def show_help() -> None:
     sys.exit(1)
 
 
+def make_engine(tpu: TpuConfig, rna):
+    """Resolve the TpuConfig.engine choice to a scan engine instance (or
+    None for the per-segment NumPy golden path)."""
+    which = tpu.engine
+    if which == "auto":
+        import jax
+
+        which = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if which == "numpy":
+        return None
+    if which == "pallas":
+        from .kernels.tpu import TpuScanEngine
+
+        return TpuScanEngine(rna, interpret=tpu.interpret)
+    if which == "xla":
+        from .kernels.xla import XlaScanEngine
+
+        return XlaScanEngine(rna)
+    sys.exit(f"unknown engine {which!r} (auto|pallas|xla|numpy)")
+
+
 def main(argv: list[str] | None = None) -> int:
+    from .io import fasta
     from .post.output import print_result
+    from .scan.batched import scan_file_batched
     from .scan.pipeline import scan_file
 
-    p, _tpu = parse_args(sys.argv[1:] if argv is None else argv)
+    p, tpu = parse_args(sys.argv[1:] if argv is None else argv)
     engine_name = "Fasim" if p.do_fast_sim else "Sim"
     print(f"Searching triplexes using {engine_name}")
-    if not p.do_fast_sim:
-        sys.exit("error: the exact SIM engine (-F) is not implemented yet; "
-                 "rerun without -F to use the Fasim scan path")
-    records, lnc_name, rna, tlist = scan_file(p)
+    _, rna_probe = fasta.read_rna(p.file2path)
+    engine = make_engine(tpu, rna_probe)
+    if engine is None:
+        records, lnc_name, rna, tlist = scan_file(p)
+    else:
+        records, lnc_name, rna, tlist = scan_file_batched(
+            p, engine, batch_pairs=tpu.segments_per_batch)
     first = records[0]
     print_result(p, first.species, lnc_name, tlist, first.chro_tag,
                  len(first.seq), first.start_genome)

@@ -48,8 +48,11 @@ class Params:
 class TpuConfig:
     """TPU execution knobs (no reference counterpart)."""
 
+    # Scan engine: auto (TPU backend -> pallas, else xla), pallas, xla,
+    # or numpy (golden reference path, per-segment).
+    engine: str = "auto"
     # Number of DNA segments processed per kernel launch (batch dim).
-    segments_per_batch: int = 1
+    segments_per_batch: int = 8
     # Data-parallel mesh axis size; 0 = use all local devices.
     dp_devices: int = 0
     # Use the interpreter (CPU) path for Pallas kernels (tests/debug).

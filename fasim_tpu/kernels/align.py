@@ -198,8 +198,23 @@ def align_window(query_idx: np.ndarray, ref_idx: np.ndarray,
                  mat: np.ndarray, go: int = GAP_OPEN,
                  ge: int = GAP_EXTEND) -> Alignment:
     """Aligner::Align(query, window) -> Alignment (ssw_cpp.cpp:599-643 with
-    flag 0x0f).  Returns sw_score 0 when ssw_align returns NULL
-    (banded traceback error; ssw_cpp.cpp:627-633)."""
+    flag 0x0f) via the native runtime (the Python/NumPy path below is the
+    golden model it is tested against, align_window_py)."""
+    from .. import native
+
+    score, rb, re_, qb, qe, cigar = native.ssw_align(
+        query_idx, ref_idx, mat, go, ge)
+    if score == 0:
+        return Alignment(sw_score=0)
+    return Alignment(sw_score=score, ref_begin=rb, ref_end=re_,
+                     query_begin=qb, query_end=qe, cigar=cigar)
+
+
+def align_window_py(query_idx: np.ndarray, ref_idx: np.ndarray,
+                    mat: np.ndarray, go: int = GAP_OPEN,
+                    ge: int = GAP_EXTEND) -> Alignment:
+    """Golden NumPy model of align_window (oracle-verified; kept as the
+    differential-test target for the native path)."""
     al = Alignment()
     # forward pass: byte, escalate to word on saturation (sswNew.cpp:1471-1483)
     score, end_ref, end_read, sat = _sw_end_pass(

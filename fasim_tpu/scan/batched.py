@@ -25,7 +25,7 @@ from .. import rules
 from ..config import BYTE_SAT, Params
 from ..io import fasta
 from ..kernels.tpu import apply_byte_break
-from .pipeline import Triplex, _fast_sim
+from .pipeline import Triplex, _fast_sim, _sim
 
 
 @dataclasses.dataclass
@@ -95,15 +95,20 @@ def scan_records(p: Params, records, rna: np.ndarray, engine,
             pairs = None
             for k, scan in enumerate(scans):
                 min_score = int(int(gm[i, k]) * 0.8)
-                if not (cm_rows[k] > min_score).any():
+                if p.do_fast_sim and not (cm_rows[k] > min_score).any():
                     continue  # no candidate columns -> no peaks
                 if pairs is None:  # build transform strings lazily
                     pairs = [rules.make_scan_strings(w.segment, s)
                              for s in scans]
-                _fast_sim(rna, pairs[k][0], pairs[k][1], w.start,
-                          min_score, cm_rows[k], scan["strand"],
-                          scan["para"], scan["rule"], p,
-                          out[w.record_idx])
+                if p.do_fast_sim:
+                    _fast_sim(rna, pairs[k][0], pairs[k][1], w.start,
+                              min_score, cm_rows[k], scan["strand"],
+                              scan["para"], scan["rule"], p,
+                              out[w.record_idx])
+                else:
+                    _sim(rna, pairs[k][0], pairs[k][1], w.start,
+                         min_score, scan["strand"], scan["para"],
+                         scan["rule"], p, out[w.record_idx])
     return out
 
 

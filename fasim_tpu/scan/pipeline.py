@@ -183,6 +183,23 @@ def _fast_sim(rna: np.ndarray, seq2: np.ndarray, src: np.ndarray,
                 out.append(t)
 
 
+def _sim(rna: np.ndarray, seq2: np.ndarray, src: np.ndarray,
+         dna_start_pos: int, min_score: int, strand: int, para: int,
+         rule: int, p: Params, out: list[Triplex]) -> None:
+    """SIM exact engine (sim.h:410-1143) via the native runtime; emits
+    Triplex records with the reference's field semantics."""
+    for (stari, endi, starj, endj, nt, score, identity, tri_score,
+         ri, rj) in native.sim_scan(
+            rna.tobytes(), seq2.tobytes(), src.tobytes(), dna_start_pos,
+            min_score, strand, para, p.nt_min, p.nt_max, p.penalty_t,
+            p.penalty_c):
+        out.append(Triplex(
+            stari=stari, endi=endi, starj=starj, endj=endj, strand=strand,
+            reverse=para, rule=rule, nt=nt, score=f32(score),
+            identity=f32(identity), tri_score=f32(tri_score),
+            stri_align=ri, strj_align=rj))
+
+
 def long_target(p: Params, rna: np.ndarray, dna: np.ndarray,
                 engine=numpy_engine) -> list[Triplex]:
     """LongTarget (Fasim-LongTarget.cpp:379-598) for one DNA record."""
@@ -196,9 +213,14 @@ def long_target(p: Params, rna: np.ndarray, dna: np.ndarray,
         thresh, colmax = engine(rna, [s2 for s2, _ in pairs])
         for k, scan in enumerate(scans):
             min_score = int(int(thresh[k]) * 0.8)
-            _fast_sim(rna, pairs[k][0], pairs[k][1], start, min_score,
-                      colmax[k], scan["strand"], scan["para"], scan["rule"],
-                      p, triplex_list)
+            if p.do_fast_sim:
+                _fast_sim(rna, pairs[k][0], pairs[k][1], start, min_score,
+                          colmax[k], scan["strand"], scan["para"],
+                          scan["rule"], p, triplex_list)
+            else:
+                _sim(rna, pairs[k][0], pairs[k][1], start, min_score,
+                     scan["strand"], scan["para"], scan["rule"], p,
+                     triplex_list)
     # final filter (Fasim-LongTarget.cpp:589-597)
     return [t for t in triplex_list
             if (t.score >= f32(p.score_min) and t.identity >= f32(p.min_identity)

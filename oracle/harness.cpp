@@ -12,6 +12,8 @@
 //   colmax  <rna.txt> <seg.txt>                -> ssw_pre_align scoreMatrix
 //   align   <rna.txt> <win.txt>                -> ssw_align result + cigar
 //   prealign <rna.txt> <seg.txt> <threshold>   -> clustered peak list
+//   sim     <rna.txt> <seqT.txt> <src.txt> <min_score> <strand> <para>
+//           <rule> [ntMin ntMax pT pC]         -> SIM triplex rows
 #include <cstdio>
 #include <cstring>
 #include <fstream>
@@ -19,7 +21,7 @@
 #include <string>
 #include <vector>
 
-#include "stats.h"      // reference threshold engine (calc_score_once)
+#include "sim.h"        // reference exact engine (+ stats.h, rules.h)
 #include "ssw_cpp.h"    // reference SSW wrapper
 #include "ssw.h"
 
@@ -37,6 +39,30 @@ int main(int argc, char** argv) {
     std::string mode = argv[1];
     std::string rna = slurp(argv[2]);
     std::string seq = slurp(argv[3]);
+
+    if (mode == "sim") {
+        // Drive the reference SIM engine (sim.h:410) on one
+        // (rna, transformed-seq, source-seq) triple with LongTarget's
+        // fixed scoring args (Fasim-LongTarget.cpp:423-425).
+        std::string src = slurp(argv[4]);
+        long min_score = atol(argv[5]);
+        long strand = atol(argv[6]);
+        long para = atol(argv[7]);
+        long rule = atol(argv[8]);
+        int nt_min = argc > 9 ? atoi(argv[9]) : 20;
+        int nt_max = argc > 10 ? atoi(argv[10]) : 100000;
+        int pT = argc > 11 ? atoi(argv[11]) : -1000;
+        int pC = argc > 12 ? atoi(argv[12]) : 0;
+        std::vector<struct triplex> out;
+        SIM(rna, seq, src, 0, min_score, 5, -4, -12, -4, out, strand, para,
+            rule, nt_min, nt_max, pT, pC);
+        for (auto& t : out)
+            printf("%d %d %d %d %d %d %d %d %.6g %.6g %.6g %s %s\n",
+                   t.stari, t.endi, t.starj, t.endj, t.strand, t.reverse,
+                   t.rule, t.nt, t.score, t.identity, t.tri_score,
+                   t.stri_align.c_str(), t.strj_align.c_str());
+        return 0;
+    }
 
     if (mode == "thresh") {
         int score = calc_score_once(rna, seq, 0, 0);

@@ -13,21 +13,26 @@ from conftest import ORACLE, REFERENCE
 GOLDEN = os.path.join(ORACLE, "golden")
 
 
-@pytest.mark.parametrize("case,extra", [
-    ("h19_lg40", ["-lg", "40"]),
-    ("h19_default", []),
+@pytest.mark.parametrize("case,f1,f2,extra", [
+    ("h19_lg40", "testDNA.fa", "H19.fa", ["-lg", "40"]),
+    ("h19_default", "testDNA.fa", "H19.fa", []),
+    # multi-record DNA (3 records of the MEG3 example): legacy-correct
+    # readDna semantics vs the patched-canonical oracle (SURVEY.md §0, §4)
+    ("meg3_sub3", "meg3sub3.fa", "MEG3.fa", []),
+    # exact SIM engine (-F) on truncated inputs (full demo takes ~2 min)
+    ("h19F_trunc", "testDNAt.fa", "H19t.fa", ["-F", "-lg", "40"]),
 ])
-def test_h19_demo_byte_identical(tmp_path, case, extra):
+def test_demo_byte_identical(tmp_path, case, f1, f2, extra):
     golden_dir = os.path.join(GOLDEN, case)
-    shutil.copy(os.path.join(ORACLE, "testDNA.fa"), tmp_path)
-    shutil.copy(os.path.join(ORACLE, "H19.fa"), tmp_path)
+    shutil.copy(os.path.join(ORACLE, f1), tmp_path)
+    shutil.copy(os.path.join(ORACLE, f2), tmp_path)
     out = tmp_path / "out"
     out.mkdir()
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(ORACLE)
     subprocess.run(
-        [sys.executable, "-m", "fasim_tpu.cli", "-f1", "testDNA.fa",
-         "-f2", "H19.fa", "-O", "out/", *extra],
+        [sys.executable, "-m", "fasim_tpu.cli", "-f1", f1,
+         "-f2", f2, "-O", "out/", *extra],
         cwd=tmp_path, env=env, check=True, capture_output=True, timeout=600)
     produced = sorted(os.listdir(out))
     expected = sorted(f for f in os.listdir(golden_dir) if f != "stdout.txt")
