@@ -9,69 +9,151 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "_lt_sort.so")
-_SRC = os.path.join(_DIR, "lt_sort.cpp")
-_SIM_SO = os.path.join(_DIR, "_sim_exact.so")
-_SIM_SRC = os.path.join(_DIR, "sim_exact.cpp")
-_SSW_SO = os.path.join(_DIR, "_ssw_align.so")
-_SSW_SRC = os.path.join(_DIR, "ssw_align.cpp")
+_SO = os.path.join(_DIR, "_fasim_native.so")
+_SRCS = [os.path.join(_DIR, f) for f in
+         ("lt_sort.cpp", "ssw_align.cpp", "sim_exact.cpp",
+          "fastsim_stage.cpp")]
+_HDRS = [os.path.join(_DIR, "align_core.h")]
 
 _lib = None
-_sim_lib = None
-_ssw_lib = None
-
-
-def _build(src: str, so: str) -> None:
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        subprocess.run(["g++", "-O2", "-fPIC", "-shared", src, "-o", so],
-                       check=True, capture_output=True)
 
 
 def _load():
+    """Build (if stale) and load the unified native runtime library."""
     global _lib
     if _lib is None:
-        _build(_SRC, _SO)
+        deps = _SRCS + _HDRS
+        if (not os.path.exists(_SO) or os.path.getmtime(_SO) <
+                max(os.path.getmtime(s) for s in deps)):
+            subprocess.run(["g++", "-O3", "-mavx2", "-funroll-loops", "-fPIC", "-shared", *_SRCS,
+                            "-o", _SO], check=True, capture_output=True)
         _lib = ctypes.CDLL(_SO)
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        _lib.lt_fastsim_dedup.restype = ctypes.c_int32
-        _lib.lt_fastsim_dedup.argtypes = [i32p, i32p, i32p, i32p, f32p,
-                                          ctypes.c_int32, i32p]
-        _lib.lt_sort_by_motif.restype = None
-        _lib.lt_sort_by_motif.argtypes = [i32p, ctypes.c_int32, i32p]
-    return _lib
-
-
-def _load_sim():
-    global _sim_lib
-    if _sim_lib is None:
-        _build(_SIM_SRC, _SIM_SO)
-        _sim_lib = ctypes.CDLL(_SIM_SO)
         c = ctypes
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        _sim_lib.lt_sim_scan.restype = c.c_long
-        _sim_lib.lt_sim_scan.argtypes = [
+        _lib.lt_fastsim_dedup.restype = c.c_int32
+        _lib.lt_fastsim_dedup.argtypes = [i32p, i32p, i32p, i32p, f32p,
+                                          c.c_int32, i32p]
+        _lib.lt_sort_by_motif.restype = None
+        _lib.lt_sort_by_motif.argtypes = [i32p, c.c_int32, i32p]
+        _lib.lt_sim_scan.restype = c.c_long
+        _lib.lt_sim_scan.argtypes = [
             c.c_char_p, c.c_long, c.c_char_p, c.c_long, c.c_char_p,
             c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long,
             c.c_long, c.c_long, c.c_long, i32p, f32p, i64p, c.c_char_p,
             c.c_long]
-    return _sim_lib
-
-
-def _load_ssw():
-    global _ssw_lib
-    if _ssw_lib is None:
-        _build(_SSW_SRC, _SSW_SO)
-        _ssw_lib = ctypes.CDLL(_SSW_SO)
-        c = ctypes
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        _ssw_lib.lt_ssw_align.restype = c.c_long
-        _ssw_lib.lt_ssw_align.argtypes = [
+        _lib.lt_ssw_align.restype = c.c_long
+        _lib.lt_ssw_align.argtypes = [
             i32p, c.c_long, i32p, c.c_long, i32p, c.c_long, c.c_long,
             c.c_long, i32p, i32p, c.c_char_p, c.c_long]
-    return _ssw_lib
+        _lib.lt_fastsim_pair.restype = c.c_long
+        _lib.lt_fastsim_pair.argtypes = [
+            i32p, c.c_long, i32p, c.c_long, c.c_char_p, c.c_char_p,
+            c.c_char_p, i32p, i32p, c.c_long, c.c_long, c.c_long, c.c_long,
+            c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long,
+            c.c_long, c.c_float, c.c_float, c.c_long, i32p, f32p, i64p,
+            c.c_char_p, c.c_long]
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        _lib.lt_fastsim_segment.restype = c.c_long
+        _lib.lt_fastsim_segment.argtypes = [
+            i32p, c.c_long, c.c_char_p, c.c_char_p, c.c_long,
+            c.POINTER(c.c_char_p), i64p, i8p, c.c_long, u8p, i8p, i32p,
+            i32p, i8p, u8p, c.c_long, i32p, i32p, c.c_long, c.c_long,
+            c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long,
+            c.c_float, c.c_float, c.c_long, i32p, f32p, i64p, c.c_char_p,
+            c.c_long]
+    return _lib
+
+
+_load_sim = _load
+_load_ssw = _load
+
+
+def fastsim_pair(q_idx: np.ndarray, r_idx: np.ndarray, rna: bytes,
+                 seq2: bytes, src: bytes, colmax: np.ndarray,
+                 mat: np.ndarray, go: int, ge: int, dna_start_pos: int,
+                 min_score: int, strand: int, para: int, nt_min: int,
+                 nt_max: int, penalty_t: int, penalty_c: int,
+                 min_identity: float, min_stability: float) -> list[tuple]:
+    """Full fastSIM candidate stage (fastsim.h:158-289) for one
+    (segment, transform) pair: peaks -> Iden sweep -> realign -> convert ->
+    dedup -> top-50 -> filter.  Returns tuples (stari, endi, starj, endj,
+    nt, score, identity, tri_score, stri_align, strj_align).  Thread-safe;
+    releases the GIL for the native call."""
+    lib = _load()
+    cap = 64
+    strbuf_cap = 1 << 20
+    ints = np.empty(cap * 6, np.int32)
+    floats = np.empty(cap * 3, np.float32)
+    stroffs = np.empty(cap * 4, np.int64)
+    strbuf = ctypes.create_string_buffer(strbuf_cap)
+    n = lib.lt_fastsim_pair(
+        q_idx, len(q_idx), r_idx, len(r_idx), rna, seq2, src, colmax,
+        mat, mat.shape[1], go, ge, dna_start_pos, min_score, strand, para,
+        nt_min, nt_max, penalty_t, penalty_c, min_identity, min_stability,
+        cap, ints, floats, stroffs, strbuf, strbuf_cap)
+    if n < 0:
+        raise RuntimeError("fastsim_pair output buffer overflow")
+    out = []
+    raw = strbuf.raw
+    for k in range(n):
+        io, il, jo, jl = stroffs[4 * k: 4 * k + 4]
+        out.append((int(ints[6 * k]), int(ints[6 * k + 1]),
+                    int(ints[6 * k + 2]), int(ints[6 * k + 3]),
+                    int(ints[6 * k + 4]), floats[3 * k],
+                    floats[3 * k + 1], floats[3 * k + 2],
+                    raw[io:io + il].decode(), raw[jo:jo + jl].decode()))
+    return out
+
+
+def fastsim_segment(q_idx: np.ndarray, rna: bytes, seg: bytes,
+                    srcs: list[bytes], src_lens: np.ndarray,
+                    src_sel: np.ndarray, luts: np.ndarray,
+                    xform_rev: np.ndarray, strands: np.ndarray,
+                    paras: np.ndarray, ssw_enc: np.ndarray,
+                    cm_u8: np.ndarray, cm_stride: int, thresh: np.ndarray,
+                    mat: np.ndarray, go: int, ge: int, dna_start_pos: int,
+                    nt_min: int, nt_max: int, penalty_t: int,
+                    penalty_c: int, min_identity: float,
+                    min_stability: float) -> list[tuple]:
+    """Full fastSIM candidate stage for one segment across all scans
+    (fastsim.h:158-289 per transform, Fasim-LongTarget.cpp:406-585 scan
+    order).  Returns tuples (scan_idx, stari, endi, starj, endj, nt, score,
+    identity, tri_score, stri_align, strj_align).  Releases the GIL."""
+    lib = _load()
+    n = len(seg)
+    nscans = len(strands)
+    cap = nscans * 50
+    strbuf_cap = 1 << 22
+    ints = np.empty(cap * 6, np.int32)
+    floats = np.empty(cap * 3, np.float32)
+    stroffs = np.empty(cap * 4, np.int64)
+    strbuf = ctypes.create_string_buffer(strbuf_cap)
+    src_arr = (ctypes.c_char_p * len(srcs))(*srcs)
+    nout = lib.lt_fastsim_segment(
+        q_idx, len(q_idx), rna, seg, n, src_arr, src_lens, src_sel, nscans,
+        luts, xform_rev, strands, paras, ssw_enc, cm_u8, cm_stride, thresh,
+        mat, mat.shape[1], go, ge, dna_start_pos, nt_min, nt_max, penalty_t,
+        penalty_c, min_identity, min_stability, cap, ints, floats, stroffs,
+        strbuf, strbuf_cap)
+    if nout == -2:
+        raise ValueError("source-string length mismatch (complement drops "
+                         "non-ACGTN characters): reference behavior is "
+                         "undefined on this input")
+    if nout < 0:
+        raise RuntimeError("fastsim_segment output buffer overflow")
+    out = []
+    raw = strbuf.raw
+    for k in range(nout):
+        io, il, jo, jl = stroffs[4 * k: 4 * k + 4]
+        out.append((int(ints[6 * k + 5]), int(ints[6 * k]),
+                    int(ints[6 * k + 1]), int(ints[6 * k + 2]),
+                    int(ints[6 * k + 3]), int(ints[6 * k + 4]),
+                    floats[3 * k], floats[3 * k + 1], floats[3 * k + 2],
+                    raw[io:io + il].decode(), raw[jo:jo + jl].decode()))
+    return out
 
 
 def ssw_align(query_idx: np.ndarray, ref_idx: np.ndarray, mat: np.ndarray,

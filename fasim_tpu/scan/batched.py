@@ -18,14 +18,15 @@ order (Fasim-LongTarget.cpp:133-163, :395).
 from __future__ import annotations
 
 import dataclasses
+import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from .. import rules
-from ..config import BYTE_SAT, Params
+from .. import native, rules
+from ..config import BYTE_SAT, GAP_EXTEND, GAP_OPEN, Params
 from ..io import fasta
-from ..kernels.tpu import apply_byte_break
-from .pipeline import Triplex, _fast_sim, _sim
+from .pipeline import Triplex, _sim
 
 
 @dataclasses.dataclass
@@ -50,13 +51,81 @@ def enumerate_work(p: Params, records) -> tuple[list[_Work], list[dict]]:
     return work, scans
 
 
+_SRC_KINDS = ("fwd", "revcomp", "comp", "rev")
+
+
+class _ScanMeta:
+    """Per-run scan metadata arrays for the native segment stage."""
+
+    def __init__(self, scans: list[dict]):
+        t = len(scans)
+        self.scans = scans
+        self.luts = np.empty((t, 256), np.uint8)
+        self.xform_rev = np.empty(t, np.int8)
+        self.src_sel = np.empty(t, np.int8)
+        self.strands = np.empty(t, np.int32)
+        self.paras = np.empty(t, np.int32)
+        for k, s in enumerate(scans):
+            self.luts[k] = rules.transfer_lut(s["strand"], s["para"],
+                                              s["rule"])
+            self.xform_rev[k] = s["xform"] == "tr"
+            self.src_sel[k] = _SRC_KINDS.index(s["src"])
+            self.strands[k] = s["strand"]
+            self.paras[k] = s["para"]
+        self.ssw_enc = np.ascontiguousarray(rules.SSW_ENC, np.int8)
+        self.mat = np.ascontiguousarray(rules.SSW_MAT, np.int32)
+
+
+def _host_segment_stage(p: Params, rna: np.ndarray, q_idx: np.ndarray,
+                        rna_b: bytes, meta: _ScanMeta, w: _Work,
+                        gm_row: np.ndarray, cm_seg: np.ndarray,
+                        cm_stride: int) -> list[Triplex]:
+    """Host candidate stage for one segment (all transforms), in the
+    reference's transform order.  Runs on a worker thread: the native
+    segment call releases the GIL, so segments proceed in parallel."""
+    scans = meta.scans
+    if not p.do_fast_sim:
+        # exact SIM path: per-pair native calls (no colmax gating)
+        found: list[Triplex] = []
+        pairs = [rules.make_scan_strings(w.segment, s) for s in scans]
+        for k, scan in enumerate(scans):
+            min_score = int(int(gm_row[k]) * 0.8)
+            _sim(rna, pairs[k][0], pairs[k][1], w.start, min_score,
+                 scan["strand"], scan["para"], scan["rule"], p, found)
+        return found
+    seg = w.segment
+    srcs = [seg, rules.reverse(rules.complement(seg)),
+            rules.complement(seg), rules.reverse(seg)]
+    src_bytes = [np.ascontiguousarray(s).tobytes() for s in srcs]
+    src_lens = np.array([len(s) for s in src_bytes], np.int64)
+    rows = native.fastsim_segment(
+        q_idx, rna_b, seg.tobytes(), src_bytes, src_lens, meta.src_sel,
+        meta.luts, meta.xform_rev, meta.strands, meta.paras, meta.ssw_enc,
+        cm_seg, cm_stride, np.ascontiguousarray(gm_row, np.int32),
+        meta.mat, GAP_OPEN, GAP_EXTEND, w.start, p.nt_min, p.nt_max,
+        p.penalty_t, p.penalty_c, np.float32(p.min_identity),
+        np.float32(p.min_stability))
+    f32 = np.float32
+    return [Triplex(stari=r[1], endi=r[2], starj=r[3], endj=r[4],
+                    strand=scans[r[0]]["strand"], reverse=scans[r[0]]["para"],
+                    rule=scans[r[0]]["rule"], nt=r[5], score=f32(r[6]),
+                    identity=f32(r[7]), tri_score=f32(r[8]),
+                    stri_align=r[9], strj_align=r[10])
+            for r in rows]
+
+
 def scan_records(p: Params, records, rna: np.ndarray, engine,
-                 batch_pairs: int = 8) -> list[list[Triplex]]:
+                 batch_pairs: int = 8, host_threads: int = 0
+                 ) -> list[list[Triplex]]:
     """Run the full scan for all records; returns one triplex list per
     record (pre genome-coordinate fixup), matching long_target's output.
 
     `engine` must expose setup_scans/scan_segments (TpuScanEngine or
     XlaScanEngine); the NumPy fallback path lives in pipeline.long_target.
+    Device batches are dispatched up front (JAX async) and the host
+    candidate stage fans segments out over a thread pool; hit lists are
+    merged in (record, segment, transform) order regardless of completion
+    order, so the output permutation matches the sequential pipeline.
     """
     work, scans = enumerate_work(p, records)
     engine.setup_scans(scans)
@@ -81,34 +150,28 @@ def scan_records(p: Params, records, rna: np.ndarray, engine,
                 engine.scan_segments(segs, lengths))
                for batch, segs, lengths in batches]
 
-    for batch, segs, lengths, (gm_dev, cm_dev) in pending:
-        gm = np.asarray(gm_dev)
-        if (gm >= BYTE_SAT).any():
-            # byte->word style escalation: exact thresholds need the
-            # full-length prefix pass (rare)
-            gm = np.asarray(engine.scan_segments(segs, lengths,
-                                                 full_prefix=True)[0])
-        cm = np.asarray(cm_dev)
-        for i, w in enumerate(batch):
-            n = len(w.segment)
-            cm_rows = apply_byte_break(cm[i, :, :n].astype(np.int32))
-            pairs = None
-            for k, scan in enumerate(scans):
-                min_score = int(int(gm[i, k]) * 0.8)
-                if p.do_fast_sim and not (cm_rows[k] > min_score).any():
-                    continue  # no candidate columns -> no peaks
-                if pairs is None:  # build transform strings lazily
-                    pairs = [rules.make_scan_strings(w.segment, s)
-                             for s in scans]
-                if p.do_fast_sim:
-                    _fast_sim(rna, pairs[k][0], pairs[k][1], w.start,
-                              min_score, cm_rows[k], scan["strand"],
-                              scan["para"], scan["rule"], p,
-                              out[w.record_idx])
-                else:
-                    _sim(rna, pairs[k][0], pairs[k][1], w.start,
-                         min_score, scan["strand"], scan["para"],
-                         scan["rule"], p, out[w.record_idx])
+    if host_threads <= 0:
+        host_threads = min(32, os.cpu_count() or 1)
+    meta = _ScanMeta(scans)
+    q_idx = np.ascontiguousarray(rules.SSW_ENC[rna], np.int32)
+    rna_b = rna.tobytes()
+    with ThreadPoolExecutor(max_workers=host_threads) as pool:
+        futures = []
+        for batch, segs, lengths, (gm_dev, cm_dev) in pending:
+            gm = np.asarray(gm_dev)
+            if (gm >= BYTE_SAT).any():
+                # byte->word style escalation: exact thresholds need the
+                # full-length prefix pass (rare)
+                gm = np.asarray(engine.scan_segments(segs, lengths,
+                                                     full_prefix=True)[0])
+            cm = np.asarray(cm_dev)
+            stride = cm.shape[2]
+            for i, w in enumerate(batch):
+                futures.append((w, pool.submit(
+                    _host_segment_stage, p, rna, q_idx, rna_b, meta, w,
+                    gm[i], cm[i], stride)))
+        for w, fut in futures:
+            out[w.record_idx].extend(fut.result())
     return out
 
 

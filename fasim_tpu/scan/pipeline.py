@@ -13,7 +13,7 @@ import dataclasses
 import numpy as np
 
 from .. import native, rules
-from ..config import TOP_N, Params
+from ..config import GAP_EXTEND, GAP_OPEN, TOP_N, Params
 from ..io import fasta
 from ..kernels import align as kalign
 from ..kernels.batch_np import numpy_engine
@@ -125,11 +125,51 @@ def _convert_triplex(al: kalign.Alignment, out: list[Triplex],
             stri_align=read_align, strj_align=ref_align_src))
 
 
+_enc_cache: dict[bytes, np.ndarray] = {}
+
+
+def _enc_i32(seq: np.ndarray, key: bytes) -> np.ndarray:
+    """Cached SSW encoding of a hot sequence (the query repeats across
+    every (segment, transform) pair)."""
+    enc = _enc_cache.get(key)
+    if enc is None:
+        enc = np.ascontiguousarray(rules.SSW_ENC[seq], np.int32)
+        if len(_enc_cache) > 4:
+            _enc_cache.clear()
+        _enc_cache[key] = enc
+    return enc
+
+
 def _fast_sim(rna: np.ndarray, seq2: np.ndarray, src: np.ndarray,
               dna_start_pos: int, min_score: int, colmax: np.ndarray,
               strand: int, para: int, rule: int, p: Params,
               out: list[Triplex]) -> None:
-    """fastSIM (fastsim.h:158-289) with the colmax pass precomputed."""
+    """fastSIM (fastsim.h:158-289) with the colmax pass precomputed, via
+    the native runtime (one GIL-releasing call per pair; the Python model
+    below, _fast_sim_py, is its differential-test target)."""
+    rna_b = rna.tobytes()
+    for (stari, endi, starj, endj, nt, score, identity, tri_score,
+         ri, rj) in native.fastsim_pair(
+            _enc_i32(rna, rna_b),
+            np.ascontiguousarray(rules.SSW_ENC[seq2], np.int32),
+            rna_b, seq2.tobytes(), src.tobytes(),
+            np.ascontiguousarray(colmax, np.int32), rules.SSW_MAT,
+            GAP_OPEN, GAP_EXTEND, dna_start_pos, min_score, strand, para,
+            p.nt_min,
+            p.nt_max, p.penalty_t, p.penalty_c, f32(p.min_identity),
+            f32(p.min_stability)):
+        out.append(Triplex(
+            stari=stari, endi=endi, starj=starj, endj=endj, strand=strand,
+            reverse=para, rule=rule, nt=nt, score=f32(score),
+            identity=f32(identity), tri_score=f32(tri_score),
+            stri_align=ri, strj_align=rj))
+
+
+def _fast_sim_py(rna: np.ndarray, seq2: np.ndarray, src: np.ndarray,
+                 dna_start_pos: int, min_score: int, colmax: np.ndarray,
+                 strand: int, para: int, rule: int, p: Params,
+                 out: list[Triplex]) -> None:
+    """Golden Python model of the fastSIM candidate stage."""
     peaks = kalign.prealign_peaks(colmax, min_score)
     q_idx = rules.SSW_ENC[rna]
     r_idx_full = rules.SSW_ENC[seq2]
