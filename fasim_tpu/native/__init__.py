@@ -5,6 +5,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -18,37 +19,49 @@ _HDRS = [os.path.join(_DIR, "align_core.h")]
 _lib = None
 
 
+_load_lock = threading.Lock()
+
+
 def _load():
-    """Build (if stale) and load the unified native runtime library."""
+    """Build (if stale) and load the unified native runtime library.
+    Thread-safe: the library handle is published only after every
+    function's argtypes are configured (worker threads call this)."""
     global _lib
-    if _lib is None:
+    if _lib is not None:
+        return _lib
+    with _load_lock:
+        if _lib is not None:
+            return _lib
         deps = _SRCS + _HDRS
         if (not os.path.exists(_SO) or os.path.getmtime(_SO) <
                 max(os.path.getmtime(s) for s in deps)):
-            subprocess.run(["g++", "-O3", "-mavx2", "-funroll-loops", "-fPIC", "-shared", *_SRCS,
-                            "-o", _SO], check=True, capture_output=True)
-        _lib = ctypes.CDLL(_SO)
+            tmp = _SO + f".tmp{os.getpid()}"
+            subprocess.run(["g++", "-O3", "-mavx2", "-funroll-loops",
+                            "-fPIC", "-shared", *_SRCS, "-o", tmp],
+                           check=True, capture_output=True)
+            os.replace(tmp, _SO)  # atomic vs concurrent builders
+        lib = ctypes.CDLL(_SO)
         c = ctypes
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        _lib.lt_fastsim_dedup.restype = c.c_int32
-        _lib.lt_fastsim_dedup.argtypes = [i32p, i32p, i32p, i32p, f32p,
+        lib.lt_fastsim_dedup.restype = c.c_int32
+        lib.lt_fastsim_dedup.argtypes = [i32p, i32p, i32p, i32p, f32p,
                                           c.c_int32, i32p]
-        _lib.lt_sort_by_motif.restype = None
-        _lib.lt_sort_by_motif.argtypes = [i32p, c.c_int32, i32p]
-        _lib.lt_sim_scan.restype = c.c_long
-        _lib.lt_sim_scan.argtypes = [
+        lib.lt_sort_by_motif.restype = None
+        lib.lt_sort_by_motif.argtypes = [i32p, c.c_int32, i32p]
+        lib.lt_sim_scan.restype = c.c_long
+        lib.lt_sim_scan.argtypes = [
             c.c_char_p, c.c_long, c.c_char_p, c.c_long, c.c_char_p,
             c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long,
             c.c_long, c.c_long, c.c_long, i32p, f32p, i64p, c.c_char_p,
             c.c_long]
-        _lib.lt_ssw_align.restype = c.c_long
-        _lib.lt_ssw_align.argtypes = [
+        lib.lt_ssw_align.restype = c.c_long
+        lib.lt_ssw_align.argtypes = [
             i32p, c.c_long, i32p, c.c_long, i32p, c.c_long, c.c_long,
             c.c_long, i32p, i32p, c.c_char_p, c.c_long]
-        _lib.lt_fastsim_pair.restype = c.c_long
-        _lib.lt_fastsim_pair.argtypes = [
+        lib.lt_fastsim_pair.restype = c.c_long
+        lib.lt_fastsim_pair.argtypes = [
             i32p, c.c_long, i32p, c.c_long, c.c_char_p, c.c_char_p,
             c.c_char_p, i32p, i32p, c.c_long, c.c_long, c.c_long, c.c_long,
             c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long,
@@ -56,14 +69,15 @@ def _load():
             c.c_char_p, c.c_long]
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        _lib.lt_fastsim_segment.restype = c.c_long
-        _lib.lt_fastsim_segment.argtypes = [
+        lib.lt_fastsim_segment.restype = c.c_long
+        lib.lt_fastsim_segment.argtypes = [
             i32p, c.c_long, c.c_char_p, c.c_char_p, c.c_long,
             c.POINTER(c.c_char_p), i64p, i8p, c.c_long, u8p, i8p, i32p,
             i32p, i8p, u8p, c.c_long, i32p, i32p, c.c_long, c.c_long,
             c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long,
             c.c_float, c.c_float, c.c_long, i32p, f32p, i64p, c.c_char_p,
             c.c_long]
+        _lib = lib
     return _lib
 
 

@@ -118,7 +118,21 @@ def scan_records(p: Params, records, rna: np.ndarray, engine,
                  batch_pairs: int = 8, host_threads: int = 0
                  ) -> list[list[Triplex]]:
     """Run the full scan for all records; returns one triplex list per
-    record (pre genome-coordinate fixup), matching long_target's output.
+    record (pre genome-coordinate fixup), matching long_target's output."""
+    work, scans = enumerate_work(p, records)
+    out: list[list[Triplex]] = [[] for _ in records]
+    for w, found in scan_work(p, rna, work, scans, engine, batch_pairs,
+                              host_threads):
+        out[w.record_idx].extend(found)
+    return out
+
+
+def scan_work(p: Params, rna: np.ndarray, work: list[_Work],
+              scans: list[dict], engine, batch_pairs: int = 8,
+              host_threads: int = 0) -> list[tuple[_Work, list[Triplex]]]:
+    """Scan an explicit work list; returns (work item, hits) pairs in the
+    given order.  This is the shard-level entry the distributed runner
+    feeds with one host's subset of segments.
 
     `engine` must expose setup_scans/scan_segments (TpuScanEngine or
     XlaScanEngine); the NumPy fallback path lives in pipeline.long_target.
@@ -127,11 +141,9 @@ def scan_records(p: Params, records, rna: np.ndarray, engine,
     merged in (record, segment, transform) order regardless of completion
     order, so the output permutation matches the sequential pipeline.
     """
-    work, scans = enumerate_work(p, records)
     engine.setup_scans(scans)
-    out: list[list[Triplex]] = [[] for _ in records]
     if not work:
-        return out
+        return []
     n_max = max(len(w.segment) for w in work)
     n_pad = (n_max + 127) // 128 * 128
 
@@ -170,20 +182,16 @@ def scan_records(p: Params, records, rna: np.ndarray, engine,
                 futures.append((w, pool.submit(
                     _host_segment_stage, p, rna, q_idx, rna_b, meta, w,
                     gm[i], cm[i], stride)))
-        for w, fut in futures:
-            out[w.record_idx].extend(fut.result())
-    return out
+        return [(w, fut.result()) for w, fut in futures]
 
 
-def scan_file_batched(p: Params, engine, batch_pairs: int = 8):
-    """Batched equivalent of pipeline.scan_file: same return contract."""
-    records = fasta.read_dna(p.file1path)
-    lnc_name, rna = fasta.read_rna(p.file2path)
-    per_record = scan_records(p, records, rna, engine, batch_pairs)
+def finalize_records(p: Params, records, per_record: list[list[Triplex]]
+                     ) -> list[Triplex]:
+    """Final filter (Fasim-LongTarget.cpp:589-597) then genome-coordinate
+    fixup (main:141-149), concatenated in record order."""
     all_t: list[Triplex] = []
     f32 = np.float32
     for rec, lst in zip(records, per_record):
-        # final filter (Fasim-LongTarget.cpp:589-597) then coordinate fixup
         lst = [t for t in lst
                if (t.score >= f32(p.score_min)
                    and t.identity >= f32(p.min_identity)
@@ -195,4 +203,14 @@ def scan_file_batched(p: Params, engine, batch_pairs: int = 8):
                 t.genomestart = t.starj + rec.start_genome - 1
                 t.genomeend = t.endj + rec.start_genome - 1
         all_t.extend(lst)
-    return records, lnc_name, rna, all_t
+    return all_t
+
+
+def scan_file_batched(p: Params, engine, batch_pairs: int = 8,
+                      host_threads: int = 0):
+    """Batched equivalent of pipeline.scan_file: same return contract."""
+    records = fasta.read_dna(p.file1path)
+    lnc_name, rna = fasta.read_rna(p.file2path)
+    per_record = scan_records(p, records, rna, engine, batch_pairs,
+                              host_threads)
+    return records, lnc_name, rna, finalize_records(p, records, per_record)

@@ -1,31 +1,56 @@
-"""Verify the Pallas TPU kernel bit-exact against the NumPy golden engine
-on real TPU hardware, and report kernel throughput.
+"""Hardware verification: kernel bit-parity + full end-to-end byte-parity
+matrix against the committed oracle goldens, on the real TPU backend.
 
 Run directly on a machine with a TPU attached (no JAX_PLATFORMS override):
 
-    python scripts/verify_tpu.py
+    python scripts/verify_tpu.py            # kernel check + fast e2e cases
+    python scripts/verify_tpu.py --full     # adds MEG3-532rec, NEAT1, MALAT1
+
+The fast cases take ~1 min (plus first-compile); --full adds the
+532-record MEG3 genome scan (~1.5 min) and the long-query families.
 """
+import filecmp
 import os
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-import jax
-
-from fasim_tpu.io import fasta
-from fasim_tpu import rules
-from fasim_tpu.kernels.batch_np import numpy_engine
-from fasim_tpu.kernels.tpu import TpuScanEngine
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.path.join(REPO, "oracle")
+GOLDEN = os.path.join(ORACLE, "golden")
+
+FAST_CASES = [
+    ("h19_lg40", "testDNA.fa", "H19.fa", ["-lg", "40"]),
+    ("h19_default", "testDNA.fa", "H19.fa", []),
+    ("meg3_sub3", "meg3sub3.fa", "MEG3.fa", []),
+    ("h19F_trunc", "testDNAt.fa", "H19t.fa", ["-F", "-lg", "40"]),
+    ("neat1t", "testDNA.fa", "NEAT1t.fa", []),
+]
+FULL_CASES = [
+    ("meg3_full", "meg3dna.fa", "MEG3.fa", []),
+    ("neat1", "testDNA.fa", "NEAT1.fa", []),
+    ("malat1", "testDNA.fa", "MALAT1.fa", []),
+]
 
 
-def main() -> int:
+def kernel_check() -> bool:
+    """Pallas TPU kernel bit-parity vs the NumPy golden engine."""
+    import jax
+
+    from fasim_tpu import rules
+    from fasim_tpu.io import fasta
+    from fasim_tpu.kernels.batch_np import numpy_engine
+    from fasim_tpu.kernels.tpu import TpuScanEngine
+
     print("devices:", jax.devices())
-    _, rna = fasta.read_rna(os.path.join(REPO, "oracle/H19.fa"))
-    recs = fasta.read_dna(os.path.join(REPO, "oracle/testDNA.fa"))
+    _, rna = fasta.read_rna(os.path.join(ORACLE, "H19.fa"))
+    recs = fasta.read_dna(os.path.join(ORACLE, "testDNA.fa"))
     segs, _ = fasta.cut_sequence(recs[0].seq, 5000, 100)
     eng = TpuScanEngine(rna)
     ok = True
@@ -42,8 +67,49 @@ def main() -> int:
               and np.array_equal(colmax_np, colmax_t))
         ok &= eq
         cells = 2 * len(scans) * len(rna) * len(seg)
-        print(f"seg len={len(seg)} equal={eq} warm={dt:.3f}s "
+        print(f"kernel: seg len={len(seg)} equal={eq} warm={dt:.3f}s "
               f"({cells / dt / 1e9:.1f} GCUPS)")
+    return ok
+
+
+def e2e_case(case: str, f1: str, f2: str, extra: list[str]) -> bool:
+    golden_dir = os.path.join(GOLDEN, case)
+    with tempfile.TemporaryDirectory() as td:
+        shutil.copy(os.path.join(ORACLE, f1), td)
+        shutil.copy(os.path.join(ORACLE, f2), td)
+        out = os.path.join(td, "out")
+        os.mkdir(out)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-m", "fasim_tpu.cli", "-f1", f1, "-f2", f2,
+             "-O", "out/", *extra],
+            cwd=td, env=env, capture_output=True, timeout=1800)
+        dt = time.time() - t0
+        if r.returncode != 0:
+            print(f"e2e {case}: CLI failed\n{r.stderr.decode()[-500:]}")
+            return False
+        expected = sorted(f for f in os.listdir(golden_dir)
+                          if not f.startswith("stdout"))
+        produced = sorted(os.listdir(out))
+        if produced != expected:
+            print(f"e2e {case}: file set differs: {produced} vs {expected}")
+            return False
+        for name in expected:
+            if not filecmp.cmp(os.path.join(out, name),
+                               os.path.join(golden_dir, name), shallow=False):
+                print(f"e2e {case}: {name} DIFFERS")
+                return False
+        print(f"e2e {case}: byte-identical ({dt:.1f}s)")
+    return True
+
+
+def main() -> int:
+    full = "--full" in sys.argv
+    ok = kernel_check()
+    for case in FAST_CASES + (FULL_CASES if full else []):
+        ok &= e2e_case(*case)
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

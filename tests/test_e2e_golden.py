@@ -21,6 +21,9 @@ GOLDEN = os.path.join(ORACLE, "golden")
     ("meg3_sub3", "meg3sub3.fa", "MEG3.fa", []),
     # exact SIM engine (-F) on truncated inputs (full demo takes ~2 min)
     ("h19F_trunc", "testDNAt.fa", "H19t.fa", ["-F", "-lg", "40"]),
+    # truncated NEAT1 (long-query family; full 22.7 knt parity is verified
+    # on TPU hardware against oracle/golden/neat1, see scripts/verify_tpu)
+    ("neat1t", "testDNA.fa", "NEAT1t.fa", []),
 ])
 def test_demo_byte_identical(tmp_path, case, f1, f2, extra):
     golden_dir = os.path.join(GOLDEN, case)
