@@ -38,7 +38,7 @@ def main() -> int:
 
     n = len(seg)
     npad = (n + 127) // 128 * 128
-    s_batch = 8
+    s_batch = 32
     segs = np.zeros((s_batch, npad), np.uint8)
     segs[:, :n] = seg
     lengths = np.full(s_batch, n, np.int32)
@@ -50,7 +50,7 @@ def main() -> int:
 
     run()  # compile
     t0 = time.time()
-    reps = 5
+    reps = 3
     for _ in range(reps):
         run()
     dt = (time.time() - t0) / reps

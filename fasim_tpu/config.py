@@ -52,7 +52,7 @@ class TpuConfig:
     # or numpy (golden reference path, per-segment).
     engine: str = "auto"
     # Number of DNA segments processed per kernel launch (batch dim).
-    segments_per_batch: int = 8
+    segments_per_batch: int = 32
     # Data-parallel mesh axis size; 0 = use all local devices.
     dp_devices: int = 0
     # Use the interpreter (CPU) path for Pallas kernels (tests/debug).

@@ -58,7 +58,7 @@ def _checkpoint_path(ckpt_dir: str, pid: int, lo: int) -> str:
     return os.path.join(ckpt_dir, f"host{pid}-work{lo}.pkl")
 
 
-def scan_distributed(p: Params, engine_factory, batch_pairs: int = 8,
+def scan_distributed(p: Params, engine_factory, batch_pairs: int = 32,
                      host_threads: int = 0, checkpoint_dir: str | None = None,
                      checkpoint_every: int = 64):
     """Run the sharded scan.  Returns (records, lnc_name, rna, all_t) on

@@ -64,6 +64,29 @@ _NEG = -(2 ** 30)
 _CHUNK = 128
 _FULL_WIN = 1 << 30
 
+# Bytes for which the threshold and scan engines provably agree, making
+# the fused single-pass threshold valid.  All 48 rule codes substitute
+# uppercase A/T/G/C into {A,T,G,C} (rules.h:6-53 — no rule maps a real
+# base to N), so for such segments every (query char, transformed char)
+# score is identical in the two matrices (match 5 / mismatch -4), the two
+# DPs are the same DP, and the threshold pass can be read off the scan
+# pass's int32 column maxima ("fused" mode) instead of running a second
+# full pass.  Any other segment byte disables fusion for the batch:
+# lowercase/unknown bytes become 'N' under transferString (rules.h:
+# 308-311) and N scores -4 (scan) vs -1 (threshold); the batch pad byte 0
+# also becomes 'N' but pads provably never raise a maximum in either
+# engine, so it is allowed.  On the *query* side no rule LUT applies —
+# both encoders map lowercase like uppercase — so acgt is pure there,
+# while U (U~T in the threshold engine vs U~A in SSW) and N are not
+# (SURVEY.md "Threshold/scan engine mismatch").
+_PURE = np.zeros(256, np.bool_)  # query bytes
+for _b in b"ACGTacgt":
+    _PURE[_b] = True
+_PURE_OR_PAD = np.zeros(256, np.bool_)  # segment bytes
+for _b in b"ACGT":
+    _PURE_OR_PAD[_b] = True
+_PURE_OR_PAD[0] = True  # batch pad byte
+
 # number of (segment x transform) DP rows packed into the sublane axis of
 # one kernel instance; 384 rows x ~3k lanes of int32 state fits VMEM with
 # room for the streamed code chunks
@@ -227,6 +250,7 @@ class TpuScanEngine:
             SSW_ENC, lambda q: q < 4, lambda q: 0)
         self.qprops_thresh = make_qprops(
             THRESH_ENC, lambda q: (q == 3) | (q == 4), lambda q: q == 5)
+        self.query_pure = bool(_PURE[rna].all())
         self._scan_luts = None
 
     def setup_scans(self, scans: list[dict]) -> None:
@@ -254,11 +278,12 @@ class TpuScanEngine:
         batch pipelining.  Caller must check thresh >= BYTE_SAT and rerun
         with full_prefix=True for exact escalated thresholds."""
         lut_s, lut_t, is_tr = self._scan_luts
+        fused = self.query_pure and bool(_PURE_OR_PAD[segs].all())
         return _device_scan(
             jnp.asarray(segs), jnp.asarray(lengths, jnp.int32),
             lut_s, lut_t, is_tr, self.qprops_ssw, self.qprops_thresh,
             m16=self.m16, pack=self.pack_rows,
-            fwin_t=_FULL_WIN if full_prefix else 64,
+            fwin_t=_FULL_WIN if full_prefix else 64, fused=fused,
             interpret=self.interpret)
 
     def _call(self, codes, which, fwin):
@@ -329,9 +354,10 @@ class TpuScanEngine:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("m16", "pack", "fwin_t", "interpret"))
+                   static_argnames=("m16", "pack", "fwin_t", "fused",
+                                    "interpret"))
 def _device_scan(segs, lengths, lut_s, lut_t, is_tr, qprops_s, qprops_t,
-                 *, m16: int, pack: int, fwin_t: int,
+                 *, m16: int, pack: int, fwin_t: int, fused: bool = False,
                  interpret: bool = False):
     """Full device-side scan step for a batch of raw DNA segments.
 
@@ -347,6 +373,14 @@ def _device_scan(segs, lengths, lut_s, lut_t, is_tr, qprops_s, qprops_t,
     (byte-break) so the clamp is lossless; the threshold max is exact
     int32.  Building the 48 transforms on device means only ~N bytes per
     segment cross the host link instead of 2 x 48 x N x 4.
+
+    `fused` (static; caller proves query + segments are pure A/C/G/T):
+    the threshold DP is identical to the scan DP, so skip it and read the
+    threshold off the scan pass's int32 column maxima — one full pass
+    instead of two.  The escalation protocol is unchanged: windowed
+    maxima are exact until the first >= BYTE_SAT cell, so thresh >=
+    BYTE_SAT still triggers the caller's full-prefix rerun, which in
+    fused mode runs the single pass with a full-length prefix.
     """
     S, N = segs.shape
     T = lut_s.shape[0]
@@ -374,9 +408,13 @@ def _device_scan(segs, lengths, lut_s, lut_t, is_tr, qprops_s, qprops_t,
                           engine=engine, interpret=interpret)
         return cm.reshape(rp, N)[:rows].reshape(S, T, N)
 
-    thresh_cm = run(apply_lut(lut_t), qprops_t, "thresh", fwin_t)
-    scan_cm = run(apply_lut(lut_s), qprops_s, "ssw", 64)
-    thresh = thresh_cm.max(axis=-1)
+    if fused:
+        scan_cm = run(apply_lut(lut_s), qprops_s, "ssw", fwin_t)
+        thresh = scan_cm.max(axis=-1)
+    else:
+        thresh_cm = run(apply_lut(lut_t), qprops_t, "thresh", fwin_t)
+        scan_cm = run(apply_lut(lut_s), qprops_s, "ssw", 64)
+        thresh = thresh_cm.max(axis=-1)
     return thresh, jnp.minimum(scan_cm, 255).astype(jnp.uint8)
 
 

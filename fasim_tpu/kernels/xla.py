@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import GAP_EXTEND, GAP_OPEN
 from ..rules import SSW_ENC, SSW_MAT, THRESH_ENC, THRESH_MAT
-from .tpu import apply_byte_break
+from .tpu import _PURE, _PURE_OR_PAD, apply_byte_break
 
 _NEG = -(2 ** 30)
 
@@ -84,6 +84,7 @@ class XlaScanEngine:
 
         self.matq_ssw = make_matq(SSW_ENC, SSW_MAT)
         self.matq_thresh = make_matq(THRESH_ENC, THRESH_MAT)
+        self.query_pure = bool(_PURE[rna].all())
         self._scan_luts = None
 
     def setup_scans(self, scans: list[dict]) -> None:
@@ -116,12 +117,19 @@ class XlaScanEngine:
         seg_rev = np.take_along_axis(segs, ridx, axis=1)
         sel = np.where(is_tr[None, :, None], seg_rev[:, None, :],
                        segs[:, None, :])
-        codes_t = np.take_along_axis(
-            lut_t[None, :, :], sel.astype(np.int64), axis=2).astype(np.int32)
         codes_s = np.take_along_axis(
             lut_s[None, :, :], sel.astype(np.int64), axis=2).astype(np.int32)
-        thresh = self.max_batch(codes_t, "thresh")
         cm = self.colmax_batch(codes_s, "ssw")
+        if self.query_pure and bool(_PURE_OR_PAD[segs].all()):
+            # fused threshold (see tpu._device_scan): for pure-ACGT input
+            # the two engines run the identical DP, so the exact threshold
+            # is the scan pass's int32 column-max reduced over columns
+            thresh = cm.max(axis=-1).astype(np.int32)
+        else:
+            codes_t = np.take_along_axis(
+                lut_t[None, :, :], sel.astype(np.int64),
+                axis=2).astype(np.int32)
+            thresh = self.max_batch(codes_t, "thresh")
         return thresh, np.minimum(cm, 255).astype(np.uint8)
 
     def colmax_batch(self, codes: np.ndarray, which: str) -> np.ndarray:

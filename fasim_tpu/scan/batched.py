@@ -115,7 +115,7 @@ def _host_segment_stage(p: Params, rna: np.ndarray, q_idx: np.ndarray,
 
 
 def scan_records(p: Params, records, rna: np.ndarray, engine,
-                 batch_pairs: int = 8, host_threads: int = 0
+                 batch_pairs: int = 32, host_threads: int = 0
                  ) -> list[list[Triplex]]:
     """Run the full scan for all records; returns one triplex list per
     record (pre genome-coordinate fixup), matching long_target's output."""
@@ -128,7 +128,7 @@ def scan_records(p: Params, records, rna: np.ndarray, engine,
 
 
 def scan_work(p: Params, rna: np.ndarray, work: list[_Work],
-              scans: list[dict], engine, batch_pairs: int = 8,
+              scans: list[dict], engine, batch_pairs: int = 32,
               host_threads: int = 0) -> list[tuple[_Work, list[Triplex]]]:
     """Scan an explicit work list; returns (work item, hits) pairs in the
     given order.  This is the shard-level entry the distributed runner
@@ -206,7 +206,7 @@ def finalize_records(p: Params, records, per_record: list[list[Triplex]]
     return all_t
 
 
-def scan_file_batched(p: Params, engine, batch_pairs: int = 8,
+def scan_file_batched(p: Params, engine, batch_pairs: int = 32,
                       host_threads: int = 0):
     """Batched equivalent of pipeline.scan_file: same return contract."""
     records = fasta.read_dna(p.file1path)
