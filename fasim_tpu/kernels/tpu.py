@@ -223,8 +223,9 @@ class TpuScanEngine:
     """
 
     def __init__(self, rna: np.ndarray, interpret: bool = False,
-                 pack_rows: int = 0):
+                 pack_rows: int = 0, use_v2: bool = True):
         self.interpret = interpret
+        self.use_v2 = use_v2
         m = len(rna)
         self.m = m
         self.m16 = _round_up(m, 16)
@@ -252,6 +253,33 @@ class TpuScanEngine:
             THRESH_ENC, lambda q: (q == 3) | (q == 4), lambda q: q == 5)
         self.query_pure = bool(_PURE[rna].all())
         self._scan_luts = None
+        self._scan_luts6 = None
+
+        # v2 kernel query rows: [q, hi, lo, nval, fbias-with-sentinel]
+        mp2 = _round_up(self.m16 + 63, 128)  # >= 63 sentinel pad lanes
+        self.mp2 = mp2
+
+        def make_qp2(enc, engine):
+            q = enc[rna].astype(np.int32)
+            if engine == "thresh":
+                q = np.where(q == 4, 3, q)  # U scores exactly like T
+            qp = np.zeros((5, mp2), np.int32)
+            qp[0, :m] = q
+            qp[0, m:] = -1
+            if engine == "ssw":
+                qp[1, :m] = np.where(q < 4, 5, -4)
+                qp[2, :m] = -4
+            else:
+                qn = q == 5
+                qp[1, :m] = np.where(qn, -1, 5)
+                qp[2, :m] = np.where(qn, -1, -4)
+                qp[3, :m] = -1
+            idx = np.arange(mp2)
+            qp[4] = np.where(idx < self.m16, idx * GAP_EXTEND, _NEG)
+            return jnp.asarray(qp)
+
+        self.qp2_ssw = make_qp2(SSW_ENC, "ssw")
+        self.qp2_thresh = make_qp2(THRESH_ENC, "thresh")
 
     def setup_scans(self, scans: list[dict]) -> None:
         """Precompute composed (rule transform ∘ encoder) LUTs for the
@@ -269,6 +297,16 @@ class TpuScanEngine:
             is_tr[k] = sc["xform"] == "tr"
         self._scan_luts = (jnp.asarray(lut_s), jnp.asarray(lut_t),
                            jnp.asarray(is_tr))
+        lut6_s = np.zeros((t, 128), np.int32)
+        lut6_t = np.zeros((t, 128), np.int32)
+        istr = np.zeros((t, 128), np.int32)
+        for k, sc in enumerate(scans):
+            rl = rules.transfer_lut(sc["strand"], sc["para"], sc["rule"])
+            lut6_s[k, :_N_BASE] = _make_lut6(rl, SSW_ENC)
+            lut6_t[k, :_N_BASE] = _make_lut6(rl, THRESH_ENC)
+            istr[k, :] = int(sc["xform"] == "tr")
+        self._scan_luts6 = (jnp.asarray(lut6_s), jnp.asarray(lut6_t),
+                            jnp.asarray(istr))
 
     def scan_segments(self, segs: np.ndarray, lengths: np.ndarray,
                       full_prefix: bool = False):
@@ -277,13 +315,21 @@ class TpuScanEngine:
         uint8[S, T, N]) — the caller device_gets them, enabling async
         batch pipelining.  Caller must check thresh >= BYTE_SAT and rerun
         with full_prefix=True for exact escalated thresholds."""
-        lut_s, lut_t, is_tr = self._scan_luts
         fused = self.query_pure and bool(_PURE_OR_PAD[segs].all())
+        fwin_t = _FULL_WIN if full_prefix else 64
+        if self.use_v2:
+            lut6_s, lut6_t, istr = self._scan_luts6
+            return _device_scan2(
+                jnp.asarray(segs), jnp.asarray(lengths, jnp.int32),
+                lut6_s, lut6_t, istr, self.qp2_ssw, self.qp2_thresh,
+                m16=self.m16, fwin_t=fwin_t, fused=fused,
+                interpret=self.interpret)
+        lut_s, lut_t, is_tr = self._scan_luts
         return _device_scan(
             jnp.asarray(segs), jnp.asarray(lengths, jnp.int32),
             lut_s, lut_t, is_tr, self.qprops_ssw, self.qprops_thresh,
             m16=self.m16, pack=self.pack_rows,
-            fwin_t=_FULL_WIN if full_prefix else 64, fused=fused,
+            fwin_t=fwin_t, fused=fused,
             interpret=self.interpret)
 
     def _call(self, codes, which, fwin):
@@ -416,6 +462,203 @@ def _device_scan(segs, lengths, lut_s, lut_t, is_tr, qprops_s, qprops_t,
         scan_cm = run(apply_lut(lut_s), qprops_s, "ssw", 64)
         thresh = thresh_cm.max(axis=-1)
     return thresh, jnp.minimum(scan_cm, 255).astype(jnp.uint8)
+
+
+# --- v2 scan kernel: in-kernel transform decode + fused outputs -------------
+#
+# The v1 kernel (above) consumes prebuilt (rows, N) code arrays; building
+# those on device (48 gathers over 256-entry LUTs per segment), packing
+# them, reducing the int32 column maxima to thresholds, and clamping to
+# uint8 cost as much wall-clock as the DP itself.  The v2 kernel instead
+# takes the *raw segment* as 6-letter base codes (A,C,G,T,U,rest->N; the
+# composition transferString o encoder factors through these classes,
+# since transferString only translates uppercase ATGCN, rules.h:308-311)
+# plus a per-transform (T, 6) decode LUT, and per 128-column chunk decodes
+# the (T, 128) engine codes with 6 vector selects — amortized to ~1/20 op
+# per column.  It also accumulates the per-row global max in VMEM (the
+# threshold needs no second XLA pass over the int32 colmax) and emits the
+# colmax pre-clamped as uint8 (4x less HBM + host-link traffic; the byte-
+# break consumer never reads values >= 255).
+#
+# Per-column op count also drops vs v1:
+#   * substitution score via precomputed hi/lo query rows: s = (code==q) ?
+#     hi : lo (+ one N-row fixup for the threshold alphabet) — 2 ops vs 4.
+#   * the vertical-gap prefix max runs unmasked: the fbias row holds a
+#     -2^30 sentinel in the >= m16 alignment-pad lanes, and mp reserves
+#     >= 63 such lanes, so every wrapped lane a <= 32-lane roll can bring
+#     in is sentinel-valued and loses every max — 2 ops/round vs 3.  The
+#     full-length prefix of the escalated pass rolls farther than the pad
+#     region, so it keeps the masked form (rare path).
+_BASE6 = np.full(256, 5, np.uint8)  # A0 C1 G2 T3 U4, everything else N=5
+for _i, _c in enumerate(b"ACGTU"):
+    _BASE6[_c] = _i
+_N_BASE = 6
+
+
+def _make_lut6(rule_lut: np.ndarray, enc: np.ndarray) -> np.ndarray:
+    """(6,) engine codes for one transform: base class -> transferString
+    target -> engine code.  Base 4 (U) is untranslatable -> 'N'."""
+    chars = np.frombuffer(b"ACGTUN", np.uint8)
+    return enc[rule_lut[chars]].astype(np.int32)
+
+
+def _dp_col2(code, qprops_ref, h_ref, e_ref, idx, foff, go, ge,
+             engine: str, sentinel: bool, fwin: int, Mp: int):
+    """One column update for the v2 kernel; returns the new H row."""
+    q = qprops_ref[0:1, :]
+    hi = qprops_ref[1:2, :]
+    lo = qprops_ref[2:3, :]
+    fbias = qprops_ref[4:5, :]
+    s_col = jnp.where(code == q, hi, lo)
+    if engine == "thresh":
+        s_col = jnp.where(code == 5, qprops_ref[3:4, :], s_col)
+    hp = h_ref[:]
+    ep = e_ref[:]
+    ev = jnp.maximum(ep - ge, hp - go)
+    diag = jnp.where(idx >= 1, pltpu.roll(hp, shift=1, axis=1), 0)
+    tmp = jnp.maximum(jnp.maximum(diag + s_col, ev), 0)
+    run = tmp + fbias
+    k = 1
+    while k < min(fwin, Mp):
+        r = pltpu.roll(run, shift=k, axis=1)
+        if sentinel:
+            run = jnp.maximum(run, r)
+        else:
+            run = jnp.maximum(run, jnp.where(idx >= k, r, 0))
+        k *= 2
+    if sentinel:
+        fv = pltpu.roll(run, shift=1, axis=1) - foff
+    else:
+        fv = jnp.where(idx >= 1, pltpu.roll(run, shift=1, axis=1),
+                       _NEG) - foff
+    hn = jnp.maximum(tmp, fv)
+    h_ref[:] = hn
+    e_ref[:] = ev
+    return hn
+
+
+def _scan2_kernel(bf_ref, br_ref, lut_ref, istr_ref, qprops_ref,
+                  cm_ref, gm_ref, h_ref, e_ref, *,
+                  m16: int, fwin: int, engine: str):
+    """One (segment, 128-column chunk) grid step over all T transforms."""
+    T = lut_ref.shape[0]
+    Mp = h_ref.shape[1]
+    go = jnp.int32(GAP_OPEN)
+    ge = jnp.int32(GAP_EXTEND)
+    sentinel = fwin <= 64  # see module comment: pad lanes >= rolls
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        e_ref[:] = jnp.zeros_like(e_ref)
+        gm_ref[0] = jnp.zeros_like(gm_ref[0])
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    foff = go + (idx - 1) * ge
+    real_row = idx < m16
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, _CHUNK), 1)
+
+    # decode this chunk's (T, 128) engine codes from the base classes;
+    # the whole segment's bases are resident (block constant over c), so
+    # select this chunk with a dynamic sublane slice
+    cid = pl.program_id(1)
+    bf = bf_ref[0, pl.ds(cid, 1), :]  # (1, 128)
+    br = br_ref[0, pl.ds(cid, 1), :]
+    sel = jnp.where(istr_ref[:] != 0, br, bf)  # (T, 128)
+    ck = jnp.broadcast_to(lut_ref[:, 0:1], (T, _CHUNK))
+    for b in range(1, _N_BASE):
+        ck = jnp.where(sel == b, lut_ref[:, b:b + 1], ck)
+
+    def col(k, carry):
+        chunk, cmacc = carry
+        code = chunk[:, 0:1]
+        hn = _dp_col2(code, qprops_ref, h_ref, e_ref, idx, foff, go, ge,
+                      engine, sentinel, fwin, Mp)
+        cm = jnp.max(jnp.where(real_row, hn, 0), axis=1, keepdims=True)
+        cmacc = jnp.where(lane == k, cm, cmacc)
+        chunk = pltpu.roll(chunk, shift=_CHUNK - 1, axis=1)
+        return chunk, cmacc
+
+    cmacc0 = jnp.zeros((T, _CHUNK), jnp.int32)
+    import os as _os
+    _unroll = int(_os.environ.get('FASIM_UNROLL', '1'))
+    _, cmacc = jax.lax.fori_loop(0, _CHUNK, col, (ck, cmacc0), unroll=_unroll)
+    cm_ref[0] = jnp.minimum(cmacc, 255).astype(jnp.uint8)
+    gm_ref[0] = jnp.maximum(gm_ref[0], cmacc)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m16", "fwin", "engine", "interpret"))
+def _kernel2_call(bases, bases_rev, lut6, istr, qprops, *, m16: int,
+                  fwin: int, engine: str, interpret: bool = False):
+    """bases/bases_rev: int32[S, Np]; lut6/istr: int32[T, 128];
+    qprops: int32[5, Mp] -> (colmax uint8[S, T, Np], gm int32[S, T, 128])."""
+    S, Np = bases.shape
+    T = lut6.shape[0]
+    Mp = qprops.shape[1]
+    nc = Np // _CHUNK
+    bases = bases.reshape(S, nc, _CHUNK)
+    bases_rev = bases_rev.reshape(S, nc, _CHUNK)
+    kernel = functools.partial(_scan2_kernel, m16=m16, fwin=fwin,
+                               engine=engine)
+    return pl.pallas_call(
+        kernel,
+        grid=(S, nc),
+        in_specs=[
+            pl.BlockSpec((1, nc, _CHUNK), lambda s, c: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, _CHUNK), lambda s, c: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 128), lambda s, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 128), lambda s, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, Mp), lambda s, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, _CHUNK), lambda s, c: (s, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 128), lambda s, c: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, T, Np), jnp.uint8),
+            jax.ShapeDtypeStruct((S, T, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T, Mp), jnp.int32),
+            pltpu.VMEM((T, Mp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bases, bases_rev, lut6, istr, qprops)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m16", "fwin_t", "fused", "interpret"))
+def _device_scan2(segs, lengths, lut6_s, lut6_t, istr, qp2_s, qp2_t, *,
+                  m16: int, fwin_t: int, fused: bool,
+                  interpret: bool = False):
+    """v2 device scan: same contract as _device_scan (thresh int32[S, T],
+    colmax uint8[S, T, N]) with the decode/reduce/clamp all in-kernel."""
+    base_lut = jnp.asarray(_BASE6.astype(np.int32))
+    base = base_lut[segs.astype(jnp.int32)]  # (S, N)
+    S, N = base.shape
+    pos = jnp.arange(N, dtype=jnp.int32)
+    ridx = jnp.where(pos[None, :] < lengths[:, None],
+                     lengths[:, None] - 1 - pos[None, :], pos[None, :])
+    base_rev = jnp.take_along_axis(base, ridx, axis=1)
+    cm_u8, gm_s = _kernel2_call(base, base_rev, lut6_s, istr, qp2_s,
+                                m16=m16, fwin=fwin_t if fused else 64,
+                                engine="ssw", interpret=interpret)
+    if fused:
+        thresh = gm_s.max(axis=-1)
+    else:
+        _, gm_t = _kernel2_call(base, base_rev, lut6_t, istr, qp2_t,
+                                m16=m16, fwin=fwin_t, engine="thresh",
+                                interpret=interpret)
+        thresh = gm_t.max(axis=-1)
+    return thresh, cm_u8
 
 
 def apply_byte_break(colmax: np.ndarray) -> np.ndarray:
