@@ -103,8 +103,13 @@ def show_help() -> None:
 
 
 def make_engine(tpu: TpuConfig, rna):
-    """Resolve the TpuConfig.engine choice to a scan engine instance (or
-    None for the per-segment NumPy golden path)."""
+    """Resolve the TpuConfig.engine choice to a scan engine per local
+    device (or None for the per-segment NumPy golden path).
+
+    Returns a list of engines — one per device used — for the batched
+    driver's round-robin dispatch (dp_devices=0 uses every local device;
+    single-chip hosts get a one-element list).
+    """
     which = tpu.engine
     if which == "auto":
         import jax
@@ -112,14 +117,21 @@ def make_engine(tpu: TpuConfig, rna):
         which = "pallas" if jax.default_backend() == "tpu" else "xla"
     if which == "numpy":
         return None
+    import jax
+
+    devices = jax.local_devices()
+    if tpu.dp_devices > 0:
+        devices = devices[:tpu.dp_devices]
     if which == "pallas":
         from .kernels.tpu import TpuScanEngine
 
-        return TpuScanEngine(rna, interpret=tpu.interpret)
+        return [TpuScanEngine(rna, interpret=tpu.interpret, device=d,
+                              unroll=tpu.unroll)
+                for d in devices]
     if which == "xla":
         from .kernels.xla import XlaScanEngine
 
-        return XlaScanEngine(rna)
+        return [XlaScanEngine(rna, device=d) for d in devices]
     sys.exit(f"unknown engine {which!r} (auto|pallas|xla|numpy)")
 
 
@@ -132,17 +144,31 @@ def main(argv: list[str] | None = None) -> int:
     p, tpu = parse_args(sys.argv[1:] if argv is None else argv)
     engine_name = "Fasim" if p.do_fast_sim else "Sim"
     print(f"Searching triplexes using {engine_name}")
+    profile = tpu.profile or os.environ.get("FASIM_PROFILE", "") not in ("",
+                                                                         "0")
+    if profile:
+        from .profiling import STAGES
+
+        STAGES.start_run()
     _, rna_probe = fasta.read_rna(p.file2path)
     engine = make_engine(tpu, rna_probe)
     if engine is None:
         records, lnc_name, rna, tlist = scan_file(p)
     else:
         records, lnc_name, rna, tlist = scan_file_batched(
-            p, engine, batch_pairs=tpu.segments_per_batch)
+            p, engine, batch_pairs=tpu.segments_per_batch,
+            max_inflight=tpu.max_inflight)
     first = records[0]
     print_result(p, first.species, lnc_name, tlist, first.chro_tag,
                  len(first.seq), first.start_genome)
     print("finished normally")
+    if profile:
+        import json
+
+        from .profiling import STAGES
+
+        print("FASIM_PROFILE " + json.dumps(STAGES.report()),
+              file=sys.stderr)
     return 0
 
 

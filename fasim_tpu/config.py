@@ -59,6 +59,13 @@ class TpuConfig:
     interpret: bool = False
     # DP wavefront dtype for the device kernels ("int32" is exact).
     dtype: str = "int32"
+    # Column-loop unroll factor of the Pallas scan kernel.
+    unroll: int = 1
+    # Print the per-stage wall-clock split on stderr after the run.
+    profile: bool = False
+    # Max device batches in flight (bounds host+device memory at genome
+    # scale); 0 = dispatch everything up front.
+    max_inflight: int = 8
 
 
 # Alignment scoring constants shared by both engines

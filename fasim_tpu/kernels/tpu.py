@@ -50,6 +50,7 @@ Design notes (TPU-first, not a translation of the SSE2 kernels):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -223,7 +224,16 @@ class TpuScanEngine:
     """
 
     def __init__(self, rna: np.ndarray, interpret: bool = False,
-                 pack_rows: int = 0, use_v2: bool = True):
+                 pack_rows: int = 0, use_v2: bool = True, device=None,
+                 unroll: int = 0):
+        # device pins this engine's constants and launches to one local
+        # chip (committed arrays); independent engines on different chips
+        # run embarrassingly parallel with no collectives (scan/batched.py)
+        self.device = device
+        self._put = (jnp.asarray if device is None
+                     else functools.partial(jax.device_put, device=device))
+        self.unroll = unroll if unroll > 0 else int(
+            os.environ.get("FASIM_UNROLL", "1"))
         self.interpret = interpret
         self.use_v2 = use_v2
         m = len(rna)
@@ -245,7 +255,7 @@ class TpuScanEngine:
             props[1, :m] = maska_fn(q)
             props[2, :m] = qn_fn(q)
             props[3, :m] = 1
-            return jnp.asarray(props)
+            return self._put(props)
 
         self.qprops_ssw = make_qprops(
             SSW_ENC, lambda q: q < 4, lambda q: 0)
@@ -276,7 +286,7 @@ class TpuScanEngine:
                 qp[3, :m] = -1
             idx = np.arange(mp2)
             qp[4] = np.where(idx < self.m16, idx * GAP_EXTEND, _NEG)
-            return jnp.asarray(qp)
+            return self._put(qp)
 
         self.qp2_ssw = make_qp2(SSW_ENC, "ssw")
         self.qp2_thresh = make_qp2(THRESH_ENC, "thresh")
@@ -295,8 +305,8 @@ class TpuScanEngine:
             lut_s[k] = SSW_ENC[rl].astype(np.uint8)
             lut_t[k] = THRESH_ENC[rl].astype(np.uint8)
             is_tr[k] = sc["xform"] == "tr"
-        self._scan_luts = (jnp.asarray(lut_s), jnp.asarray(lut_t),
-                           jnp.asarray(is_tr))
+        self._scan_luts = (self._put(lut_s), self._put(lut_t),
+                           self._put(is_tr))
         lut6_s = np.zeros((t, 128), np.int32)
         lut6_t = np.zeros((t, 128), np.int32)
         istr = np.zeros((t, 128), np.int32)
@@ -305,8 +315,8 @@ class TpuScanEngine:
             lut6_s[k, :_N_BASE] = _make_lut6(rl, SSW_ENC)
             lut6_t[k, :_N_BASE] = _make_lut6(rl, THRESH_ENC)
             istr[k, :] = int(sc["xform"] == "tr")
-        self._scan_luts6 = (jnp.asarray(lut6_s), jnp.asarray(lut6_t),
-                            jnp.asarray(istr))
+        self._scan_luts6 = (self._put(lut6_s), self._put(lut6_t),
+                            self._put(istr))
 
     def scan_segments(self, segs: np.ndarray, lengths: np.ndarray,
                       full_prefix: bool = False):
@@ -320,13 +330,13 @@ class TpuScanEngine:
         if self.use_v2:
             lut6_s, lut6_t, istr = self._scan_luts6
             return _device_scan2(
-                jnp.asarray(segs), jnp.asarray(lengths, jnp.int32),
+                self._put(segs), self._put(np.asarray(lengths, np.int32)),
                 lut6_s, lut6_t, istr, self.qp2_ssw, self.qp2_thresh,
                 m16=self.m16, fwin_t=fwin_t, fused=fused,
-                interpret=self.interpret)
+                interpret=self.interpret, unroll=self.unroll)
         lut_s, lut_t, is_tr = self._scan_luts
         return _device_scan(
-            jnp.asarray(segs), jnp.asarray(lengths, jnp.int32),
+            self._put(segs), self._put(np.asarray(lengths, np.int32)),
             lut_s, lut_t, is_tr, self.qprops_ssw, self.qprops_thresh,
             m16=self.m16, pack=self.pack_rows,
             fwin_t=fwin_t, fused=fused,
@@ -539,7 +549,7 @@ def _dp_col2(code, qprops_ref, h_ref, e_ref, idx, foff, go, ge,
 
 def _scan2_kernel(bf_ref, br_ref, lut_ref, istr_ref, qprops_ref,
                   cm_ref, gm_ref, h_ref, e_ref, *,
-                  m16: int, fwin: int, engine: str):
+                  m16: int, fwin: int, engine: str, unroll: int = 1):
     """One (segment, 128-column chunk) grid step over all T transforms."""
     T = lut_ref.shape[0]
     Mp = h_ref.shape[1]
@@ -580,17 +590,18 @@ def _scan2_kernel(bf_ref, br_ref, lut_ref, istr_ref, qprops_ref,
         return chunk, cmacc
 
     cmacc0 = jnp.zeros((T, _CHUNK), jnp.int32)
-    import os as _os
-    _unroll = int(_os.environ.get('FASIM_UNROLL', '1'))
-    _, cmacc = jax.lax.fori_loop(0, _CHUNK, col, (ck, cmacc0), unroll=_unroll)
+    _, cmacc = jax.lax.fori_loop(0, _CHUNK, col, (ck, cmacc0),
+                                 unroll=unroll)
     cm_ref[0] = jnp.minimum(cmacc, 255).astype(jnp.uint8)
     gm_ref[0] = jnp.maximum(gm_ref[0], cmacc)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("m16", "fwin", "engine", "interpret"))
+                   static_argnames=("m16", "fwin", "engine", "interpret",
+                                    "unroll"))
 def _kernel2_call(bases, bases_rev, lut6, istr, qprops, *, m16: int,
-                  fwin: int, engine: str, interpret: bool = False):
+                  fwin: int, engine: str, interpret: bool = False,
+                  unroll: int = 1):
     """bases/bases_rev: int32[S, Np]; lut6/istr: int32[T, 128];
     qprops: int32[5, Mp] -> (colmax uint8[S, T, Np], gm int32[S, T, 128])."""
     S, Np = bases.shape
@@ -600,7 +611,7 @@ def _kernel2_call(bases, bases_rev, lut6, istr, qprops, *, m16: int,
     bases = bases.reshape(S, nc, _CHUNK)
     bases_rev = bases_rev.reshape(S, nc, _CHUNK)
     kernel = functools.partial(_scan2_kernel, m16=m16, fwin=fwin,
-                               engine=engine)
+                               engine=engine, unroll=unroll)
     return pl.pallas_call(
         kernel,
         grid=(S, nc),
@@ -635,10 +646,11 @@ def _kernel2_call(bases, bases_rev, lut6, istr, qprops, *, m16: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("m16", "fwin_t", "fused", "interpret"))
+                   static_argnames=("m16", "fwin_t", "fused", "interpret",
+                                    "unroll"))
 def _device_scan2(segs, lengths, lut6_s, lut6_t, istr, qp2_s, qp2_t, *,
                   m16: int, fwin_t: int, fused: bool,
-                  interpret: bool = False):
+                  interpret: bool = False, unroll: int = 1):
     """v2 device scan: same contract as _device_scan (thresh int32[S, T],
     colmax uint8[S, T, N]) with the decode/reduce/clamp all in-kernel."""
     base_lut = jnp.asarray(_BASE6.astype(np.int32))
@@ -650,13 +662,14 @@ def _device_scan2(segs, lengths, lut6_s, lut6_t, istr, qp2_s, qp2_t, *,
     base_rev = jnp.take_along_axis(base, ridx, axis=1)
     cm_u8, gm_s = _kernel2_call(base, base_rev, lut6_s, istr, qp2_s,
                                 m16=m16, fwin=fwin_t if fused else 64,
-                                engine="ssw", interpret=interpret)
+                                engine="ssw", interpret=interpret,
+                                unroll=unroll)
     if fused:
         thresh = gm_s.max(axis=-1)
     else:
         _, gm_t = _kernel2_call(base, base_rev, lut6_t, istr, qp2_t,
                                 m16=m16, fwin=fwin_t, engine="thresh",
-                                interpret=interpret)
+                                interpret=interpret, unroll=unroll)
         thresh = gm_t.max(axis=-1)
     return thresh, cm_u8
 

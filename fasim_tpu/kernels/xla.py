@@ -71,7 +71,10 @@ def colmax_xla(codes: jax.Array, matq: jax.Array, *, m16: int) -> jax.Array:
 class XlaScanEngine:
     """numpy_engine-contract engine running as one jitted XLA program."""
 
-    def __init__(self, rna: np.ndarray):
+    def __init__(self, rna: np.ndarray, device=None):
+        # device pins this engine to one local device (see TpuScanEngine)
+        self._put = (jnp.asarray if device is None
+                     else functools.partial(jax.device_put, device=device))
         m = len(rna)
         self.m16 = _round_up(m, 16)
         mp = self.m16  # no lane-alignment constraint outside Pallas
@@ -80,7 +83,7 @@ class XlaScanEngine:
             q = enc[rna]
             mq = np.zeros((mat.shape[1] + 1, mp), np.int32)
             mq[:-1, :m] = mat[q].T  # phantom rows and the pad code score 0
-            return jnp.asarray(mq)
+            return self._put(mq)
 
         self.matq_ssw = make_matq(SSW_ENC, SSW_MAT)
         self.matq_thresh = make_matq(THRESH_ENC, THRESH_MAT)
@@ -134,7 +137,8 @@ class XlaScanEngine:
 
     def colmax_batch(self, codes: np.ndarray, which: str) -> np.ndarray:
         matq = self.matq_ssw if which == "ssw" else self.matq_thresh
-        out = colmax_xla(jnp.asarray(codes, jnp.int32), matq, m16=self.m16)
+        out = colmax_xla(self._put(np.asarray(codes, np.int32)), matq,
+                         m16=self.m16)
         return np.asarray(jax.device_get(out))
 
     def max_batch(self, codes: np.ndarray, which: str) -> np.ndarray:

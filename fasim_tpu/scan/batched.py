@@ -6,17 +6,31 @@ driver ships raw segment bytes to the device in fixed-size batches, the
 engine builds all rule transforms on device and returns (threshold,
 clamped-uint8 colmax) — ~100x less host-link traffic than shipping codes
 and int32 maxima — and the host candidate stage runs per pair on the
-results.  All device batches are dispatched up front (JAX async), so
-device compute overlaps the host candidate stage.
+results.
+
+Scaling design (the reference is single-threaded, SURVEY.md §2.b):
+
+  * **Streaming with a bounded dispatch window**: at most `max_inflight`
+    device batches are in flight, so host + device memory is O(window),
+    not O(genome) — a 3.1 Gb genome streams through in ~8 MB colmax
+    buffers per batch instead of materializing ~633k segments.
+  * **Multi-chip**: independent batches round-robin across one engine per
+    local device.  Segments are embarrassingly parallel (the overlapping
+    segmentation makes alignments local by construction, fastsim.h:71-90),
+    so no collectives are needed; each chip runs its own async stream.
+  * Device compute overlaps the host candidate stage (JAX async dispatch
+    + a host thread pool; the native candidate call releases the GIL).
 
 Results are bit-identical to the sequential pipeline: batching only
 reorders *independent* device computations, and the host stage consumes
 them in (record, segment, transform) order — the reference's iteration
-order (Fasim-LongTarget.cpp:133-163, :395).
+order (Fasim-LongTarget.cpp:133-163, :395) — regardless of device count,
+window size, or completion order.
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import os
 from concurrent.futures import ThreadPoolExecutor
@@ -26,6 +40,7 @@ import numpy as np
 from .. import native, rules
 from ..config import BYTE_SAT, GAP_EXTEND, GAP_OPEN, Params
 from ..io import fasta
+from ..profiling import STAGES
 from .pipeline import Triplex, _sim
 
 
@@ -83,6 +98,15 @@ def _host_segment_stage(p: Params, rna: np.ndarray, q_idx: np.ndarray,
     """Host candidate stage for one segment (all transforms), in the
     reference's transform order.  Runs on a worker thread: the native
     segment call releases the GIL, so segments proceed in parallel."""
+    with STAGES.timer("host_candidate_busy"):
+        return _host_segment_stage_inner(p, rna, q_idx, rna_b, meta, w,
+                                         gm_row, cm_seg, cm_stride)
+
+
+def _host_segment_stage_inner(p: Params, rna: np.ndarray, q_idx: np.ndarray,
+                              rna_b: bytes, meta: _ScanMeta, w: _Work,
+                              gm_row: np.ndarray, cm_seg: np.ndarray,
+                              cm_stride: int) -> list[Triplex]:
     scans = meta.scans
     if not p.do_fast_sim:
         # exact SIM path: per-pair native calls (no colmax gating)
@@ -115,74 +139,122 @@ def _host_segment_stage(p: Params, rna: np.ndarray, q_idx: np.ndarray,
 
 
 def scan_records(p: Params, records, rna: np.ndarray, engine,
-                 batch_pairs: int = 32, host_threads: int = 0
-                 ) -> list[list[Triplex]]:
+                 batch_pairs: int = 32, host_threads: int = 0,
+                 max_inflight: int = 8) -> list[list[Triplex]]:
     """Run the full scan for all records; returns one triplex list per
     record (pre genome-coordinate fixup), matching long_target's output."""
     work, scans = enumerate_work(p, records)
     out: list[list[Triplex]] = [[] for _ in records]
     for w, found in scan_work(p, rna, work, scans, engine, batch_pairs,
-                              host_threads):
+                              host_threads, max_inflight):
         out[w.record_idx].extend(found)
     return out
 
 
 def scan_work(p: Params, rna: np.ndarray, work: list[_Work],
               scans: list[dict], engine, batch_pairs: int = 32,
-              host_threads: int = 0) -> list[tuple[_Work, list[Triplex]]]:
+              host_threads: int = 0, max_inflight: int = 8
+              ) -> list[tuple[_Work, list[Triplex]]]:
     """Scan an explicit work list; returns (work item, hits) pairs in the
     given order.  This is the shard-level entry the distributed runner
-    feeds with one host's subset of segments.
-
-    `engine` must expose setup_scans/scan_segments (TpuScanEngine or
-    XlaScanEngine); the NumPy fallback path lives in pipeline.long_target.
-    Device batches are dispatched up front (JAX async) and the host
-    candidate stage fans segments out over a thread pool; hit lists are
-    merged in (record, segment, transform) order regardless of completion
-    order, so the output permutation matches the sequential pipeline.
-    """
-    engine.setup_scans(scans)
+    feeds with one host's subset of segments.  List-input wrapper around
+    `iter_scan_work`."""
     if not work:
+        if engine is not None:
+            (engine[0] if isinstance(engine, (list, tuple))
+             else engine).setup_scans(scans)
         return []
     n_max = max(len(w.segment) for w in work)
     n_pad = (n_max + 127) // 128 * 128
+    return list(iter_scan_work(p, rna, iter(work), scans, engine, n_pad,
+                               batch_pairs, host_threads, max_inflight))
 
-    batches = []
-    for lo in range(0, len(work), batch_pairs):
-        batch = work[lo:lo + batch_pairs]
-        segs = np.zeros((batch_pairs, n_pad), np.uint8)
-        lengths = np.zeros(batch_pairs, np.int32)
-        for i, w in enumerate(batch):
-            segs[i, :len(w.segment)] = w.segment
-            lengths[i] = len(w.segment)
-        batches.append((batch, segs, lengths))
 
-    # dispatch everything (async under JAX), then consume in order
-    pending = [(batch, segs, lengths,
-                engine.scan_segments(segs, lengths))
-               for batch, segs, lengths in batches]
+def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
+                   engine, n_pad: int, batch_pairs: int = 32,
+                   host_threads: int = 0, max_inflight: int = 8):
+    """Streaming scan core: consume a lazy work iterator, keep at most
+    `max_inflight` device batches in flight per device, yield (work item,
+    hits) in input order.
 
+    `engine` is one engine or a list of per-device engines (one per local
+    chip); batches round-robin across them.  Each engine must expose
+    setup_scans/scan_segments (TpuScanEngine or XlaScanEngine); the NumPy
+    fallback path lives in pipeline.long_target.  Because segments are
+    independent and results are yielded in input order, the output is
+    bit-identical for any device count, window size, or thread count.
+    """
+    engines = list(engine) if isinstance(engine, (list, tuple)) else [engine]
+    for e in engines:
+        e.setup_scans(scans)
     if host_threads <= 0:
         host_threads = min(32, os.cpu_count() or 1)
+    if max_inflight <= 0:
+        max_inflight = 1 << 30
+    max_inflight = max(max_inflight, 2) * len(engines)
+    host_backlog = max(4 * host_threads, 2 * batch_pairs)
+
     meta = _ScanMeta(scans)
     q_idx = np.ascontiguousarray(rules.SSW_ENC[rna], np.int32)
     rna_b = rna.tobytes()
+    inflight: collections.deque = collections.deque()
+    done: collections.deque = collections.deque()
     with ThreadPoolExecutor(max_workers=host_threads) as pool:
-        futures = []
-        for batch, segs, lengths, (gm_dev, cm_dev) in pending:
-            gm = np.asarray(gm_dev)
-            if (gm >= BYTE_SAT).any():
-                # byte->word style escalation: exact thresholds need the
-                # full-length prefix pass (rare)
-                gm = np.asarray(engine.scan_segments(segs, lengths,
-                                                     full_prefix=True)[0])
-            cm = np.asarray(cm_dev)
+
+        def consume_oldest():
+            batch, segs, lengths, eng, (gm_dev, cm_dev) = inflight.popleft()
+            with STAGES.timer("device_wait"):
+                gm = np.asarray(gm_dev)
+                if (gm >= BYTE_SAT).any():
+                    # byte->word style escalation: exact thresholds need
+                    # the full-length prefix pass (rare)
+                    gm = np.asarray(eng.scan_segments(
+                        segs, lengths, full_prefix=True)[0])
+                cm = np.asarray(cm_dev)
             stride = cm.shape[2]
             for i, w in enumerate(batch):
-                futures.append((w, pool.submit(
+                done.append((w, pool.submit(
                     _host_segment_stage, p, rna, q_idx, rna_b, meta, w,
                     gm[i], cm[i], stride)))
-        return [(w, fut.result()) for w, fut in futures]
+
+        def dispatch(batch, k):
+            segs = np.zeros((batch_pairs, n_pad), np.uint8)
+            lengths = np.zeros(batch_pairs, np.int32)
+            for i, w in enumerate(batch):
+                segs[i, :len(w.segment)] = w.segment
+                lengths[i] = len(w.segment)
+            eng = engines[k % len(engines)]
+            with STAGES.timer("device_dispatch"):
+                out = eng.scan_segments(segs, lengths)
+            inflight.append((batch, segs, lengths, eng, out))
+
+        nbatch = 0
+        batch: list[_Work] = []
+        for w in work_iter:
+            batch.append(w)
+            if len(batch) < batch_pairs:
+                continue
+            if len(inflight) >= max_inflight:
+                consume_oldest()
+            while len(done) > host_backlog:
+                w0, fut = done.popleft()
+                with STAGES.timer("host_candidate_wait"):
+                    hits = fut.result()
+                yield w0, hits
+            dispatch(batch, nbatch)
+            nbatch += 1
+            batch = []
+        if batch:
+            if len(inflight) >= max_inflight:
+                consume_oldest()
+            dispatch(batch, nbatch)
+        while inflight:
+            consume_oldest()
+        while done:
+            w0, fut = done.popleft()
+            with STAGES.timer("host_candidate_wait"):
+                hits = fut.result()
+            yield w0, hits
 
 
 def finalize_records(p: Params, records, per_record: list[list[Triplex]]
@@ -207,10 +279,10 @@ def finalize_records(p: Params, records, per_record: list[list[Triplex]]
 
 
 def scan_file_batched(p: Params, engine, batch_pairs: int = 32,
-                      host_threads: int = 0):
+                      host_threads: int = 0, max_inflight: int = 8):
     """Batched equivalent of pipeline.scan_file: same return contract."""
     records = fasta.read_dna(p.file1path)
     lnc_name, rna = fasta.read_rna(p.file2path)
     per_record = scan_records(p, records, rna, engine, batch_pairs,
-                              host_threads)
+                              host_threads, max_inflight)
     return records, lnc_name, rna, finalize_records(p, records, per_record)
