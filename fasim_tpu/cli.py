@@ -102,6 +102,19 @@ def show_help() -> None:
     sys.exit(1)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (harmless if the backend's remote
+    compiler bypasses it; saves minutes per fresh process otherwise)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/fasim_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def make_engine(tpu: TpuConfig, rna):
     """Resolve the TpuConfig.engine choice to a scan engine per local
     device (or None for the per-segment NumPy golden path).
@@ -117,6 +130,7 @@ def make_engine(tpu: TpuConfig, rna):
         which = "pallas" if jax.default_backend() == "tpu" else "xla"
     if which == "numpy":
         return None
+    _enable_compile_cache()
     import jax
 
     devices = jax.local_devices()
@@ -150,8 +164,21 @@ def main(argv: list[str] | None = None) -> int:
         from .profiling import STAGES
 
         STAGES.start_run()
+    import time as _time
+
+    t_start = _time.process_time()
     _, rna_probe = fasta.read_rna(p.file2path)
     engine = make_engine(tpu, rna_probe)
+    if tpu.stdout_compat:
+        # the reference interleaves these with the scan; the final stream
+        # is identical when printed up front (record/segment order)
+        lnc_probe, _ = fasta.read_rna(p.file2path)
+        print(lnc_probe)
+        for rec in fasta.read_dna(p.file1path):
+            _, starts = fasta.cut_sequence(rec.seq, p.cut_length,
+                                           p.overlap_length)
+            for s in starts:
+                print(f"dnaPos = {s}")
     if engine is None:
         records, lnc_name, rna, tlist = scan_file(p)
     else:
@@ -160,8 +187,12 @@ def main(argv: list[str] | None = None) -> int:
             max_inflight=tpu.max_inflight)
     first = records[0]
     print_result(p, first.species, lnc_name, tlist, first.chro_tag,
-                 len(first.seq), first.start_genome)
+                 len(first.seq), first.start_genome,
+                 stdout_compat=tpu.stdout_compat)
     print("finished normally")
+    if tpu.stdout_compat:
+        # reference: clock()-based CPU seconds (never byte-compared)
+        print(f"Running time is {_time.process_time() - t_start:.6g}")
     if profile:
         import json
 

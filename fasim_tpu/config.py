@@ -52,7 +52,7 @@ class TpuConfig:
     # or numpy (golden reference path, per-segment).
     engine: str = "auto"
     # Number of DNA segments processed per kernel launch (batch dim).
-    segments_per_batch: int = 32
+    segments_per_batch: int = 64
     # Data-parallel mesh axis size; 0 = use all local devices.
     dp_devices: int = 0
     # Use the interpreter (CPU) path for Pallas kernels (tests/debug).
@@ -66,6 +66,10 @@ class TpuConfig:
     # Max device batches in flight (bounds host+device memory at genome
     # scale); 0 = dispatch everything up front.
     max_inflight: int = 8
+    # Reproduce the reference's stdout progress lines (lncName,
+    # "dnaPos = N" per segment, the print_cluster level-quirk lines and
+    # "Running time is ..."; Fasim-LongTarget.cpp:192,398,698,170).
+    stdout_compat: bool = False
 
 
 # Alignment scoring constants shared by both engines

@@ -7,10 +7,13 @@ framework's own design:
     axis: segments are independent by construction of the overlapping
     segmentation, fastsim.h:71-90);
   * ``rule`` — "expert"-style axis over the 48 pairing-rule transforms of
-    each segment (embarrassingly parallel);
-  * ``q``    — optional sequence-parallel axis over the query (RNA)
-    dimension of the DP state; the vertical-gap prefix max becomes a
-    cross-shard ``associative_scan`` and XLA inserts the collectives.
+    each segment (embarrassingly parallel).
+
+The production single-process multi-chip path does not use a mesh at all:
+batches round-robin across per-device engines (scan/batched.py) because
+the work is embarrassingly parallel and needs no collectives.  The mesh
+step here is the collective-free sharded expression of the same scan for
+pjit-style deployments and the multi-chip dry run.
 
 The device-side step is pure XLA (kernels/xla.py) so it partitions with
 sharding annotations alone — no hand-written collectives are needed until
@@ -35,19 +38,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import BYTE_SAT
 from ..kernels.xla import colmax_xla
 
-AXES = ("seg", "rule", "q")
+AXES = ("seg", "rule")
 
 
-def make_mesh(n_seg: int = 0, n_rule: int = 1, n_q: int = 1,
-              devices=None) -> Mesh:
-    """Build a (seg, rule, q) mesh.  n_seg=0 uses all remaining devices."""
+def make_mesh(n_seg: int = 0, n_rule: int = 1, devices=None) -> Mesh:
+    """Build a (seg, rule) mesh.  n_seg=0 uses all remaining devices."""
     devices = list(jax.devices()) if devices is None else list(devices)
     if n_seg == 0:
-        n_seg = max(1, len(devices) // (n_rule * n_q))
-    n = n_seg * n_rule * n_q
+        n_seg = max(1, len(devices) // n_rule)
+    n = n_seg * n_rule
     if n > len(devices):
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(n_seg, n_rule, n_q)
+    arr = np.asarray(devices[:n]).reshape(n_seg, n_rule)
     return Mesh(arr, AXES)
 
 
@@ -77,10 +79,12 @@ def scan_step(codes_thresh: jax.Array, codes_ssw: jax.Array,
 
 
 def sharded_scan_step(mesh: Mesh, m16: int):
-    """jit scan_step over the mesh: segments sharded on ``seg``, transforms
-    on ``rule``, the query profile (and DP state, by propagation) on ``q``."""
+    """jit scan_step over the mesh: segments sharded on ``seg``,
+    transforms on ``rule``, the query profile replicated (the DP carries
+    the whole query per shard — cheapest layout: no collective ever
+    runs)."""
     codes_s = NamedSharding(mesh, P("seg", "rule", None))
-    matq_s = NamedSharding(mesh, P(None, "q"))
+    matq_s = NamedSharding(mesh, P(None, None))
     out_s = (NamedSharding(mesh, P("seg", "rule")),
              NamedSharding(mesh, P("seg", "rule", None)))
     return jax.jit(

@@ -265,8 +265,12 @@ class TpuScanEngine:
         self._scan_luts = None
         self._scan_luts6 = None
 
-        # v2 kernel query rows: [q, hi, lo, nval, fbias-with-sentinel]
-        mp2 = _round_up(self.m16 + 63, 128)  # >= 63 sentinel pad lanes
+        # v2 kernel query rows: [q, hi, lo, nval, fbias-with-sentinel].
+        # The lane count rounds up to a 2048 bucket so kernels recompile
+        # per size class, not per query length (pad lanes are zero-profile
+        # and masked at m16 — provably inert; the sentinel fbias rows make
+        # the windowed prefix rolls exact).
+        mp2 = _round_up(self.m16 + 63, 2048)
         self.mp2 = mp2
 
         def make_qp2(enc, engine):
@@ -407,6 +411,123 @@ class TpuScanEngine:
         scan_cm = self.colmax_batch(
             SSW_ENC[seq2].astype(np.int32)[None], "ssw")[0]
         return thresh.astype(np.int32), apply_byte_break(scan_cm)
+
+    # -- candidate-window passes (see scan/candidates.py) ------------------
+
+    def setup_windows(self, rna: np.ndarray) -> None:
+        """Precompute the streamed query codes (forward + reversed); the
+        query pads past m+15 (so every per-row phantom bound mreal <=
+        m+15 is reachable) up to a 2048 bucket (compile per size class,
+        not per query length; pad rows have code -1 = zero profile)."""
+        m = len(rna)
+        nqr = _round_up(m + 15, 2048)
+
+        def qcodes(arr):
+            q = np.full(nqr, -1, np.int32)
+            q[:m] = SSW_ENC[arr]
+            q = q.reshape(-1, 1, _CHUNK)
+            return self._put(np.broadcast_to(q, (q.shape[0], 8, _CHUNK)))
+
+        self.qwin_fwd = qcodes(rna)
+        self.qwin_rev = qcodes(rna[::-1])
+        self.m = m
+        self.win_rows = 512
+
+    def window_pass(self, codes: np.ndarray, offs: np.ndarray,
+                    terms: np.ndarray, rlens: np.ndarray,
+                    mreals: np.ndarray, rev: bool) -> np.ndarray:
+        """Batched candidate-window pass (contract of
+        XlaScanEngine.window_pass).  Rows pack into fixed (G0, R) call
+        shapes (one compile per width); the kernel emits per-lane
+        (column max, first row) stats and the scan-order semantics —
+        last strict improvement, lowest attaining row, terminate break —
+        are recovered here as vectorized prefix/argmax post-ops."""
+        rows, W = codes.shape
+        if rows == 0:
+            return np.zeros((0, 3), np.int32)
+        qc = self.qwin_rev if rev else self.qwin_fwd
+        m = self.m
+        Wp = _round_up(W, 128)
+        R = self.win_rows
+        g8 = R * 8
+        rp = _round_up(rows, R)
+        mt = np.zeros((rp, 128), np.int32)
+        mt[:rows, 0] = offs
+        mt[:rows, 1] = mreals
+        cp = np.full((rp, Wp), 4, np.uint8)
+        cp[:rows, :W] = codes
+        pending = []
+        lo = 0
+        while lo < rows:
+            g = 8 if rows - lo >= g8 else 1
+            n = R * g
+            pending.append(_window_call(
+                self._put(cp[lo:lo + n].reshape(g, R, Wp)),
+                self._put(mt[lo:lo + n].reshape(g, R, 128)),
+                qc, m=m, interpret=self.interpret))
+            lo += n
+        mx = np.concatenate(
+            [np.asarray(o[0]).reshape(-1, Wp) for o in pending])[:rows]
+        mrow = np.concatenate(
+            [np.asarray(o[1]).reshape(-1, Wp) for o in pending])[:rows]
+        return window_stats_to_ends(mx, mrow, terms, rlens, m)
+
+    PACK_K = 384  # > p99 of measured candidate-column counts (270)
+
+    def scan_segments_packed(self, segs: np.ndarray, lengths: np.ndarray):
+        """scan_segments + device-side candidate packing: returns
+        (thresh_dev, cm_dev, pos_dev, val_dev, cnt_dev) — cm_dev is the
+        resident full colmax handle for escalation/overflow fallbacks
+        (only sliced rows are ever transferred)."""
+        thresh, cm = self.scan_segments(segs, lengths)
+        lens = self._put(np.asarray(lengths, np.int32))
+        pos, val, cnt = _pack_candidates(thresh, cm, lens, k=self.PACK_K)
+        return thresh, cm, pos, val, cnt
+
+    # production path: specs in (~26 B/row), ends out (12 B/row) — the
+    # window codes are gathered on device from the batch's resident
+    # segment bytes and the composed scan LUTs, and the scan-order ends
+    # (incl. terminate) are reduced on device, so only tiny arrays cross
+    # the (slow) host<->device link
+    WIN_BUCKETS = (2048, 16384, 49152)
+
+    def window_pass_specs(self, segs: np.ndarray, lengths: np.ndarray,
+                          spec: dict, rev: bool) -> np.ndarray:
+        """spec arrays (all int32[rows]): seg_idx, scan_idx, base, dirn
+        (+1 forward / -1 reversed window read), rlens, offs, terms,
+        mreals.  Returns int32[rows, 3] (best, end_col, end_row)."""
+        rows = len(spec["seg_idx"])
+        if rows == 0:
+            return np.zeros((0, 3), np.int32)
+        qc = self.qwin_rev if rev else self.qwin_fwd
+        lut_s, _, is_tr = self._scan_luts
+        outs = []
+        lo = 0
+        keys = ("seg_idx", "scan_idx", "base", "dirn", "rlens", "offs",
+                "terms", "mreals")
+        while lo < rows:
+            n = rows - lo
+            bucket = next((b for b in self.WIN_BUCKETS if b >= n),
+                          self.WIN_BUCKETS[-1])
+            take = min(n, bucket)
+            part = {}
+            for k in keys:
+                a = np.zeros(bucket, np.int32)
+                a[:take] = spec[k][lo:lo + take]
+                if k == "terms":
+                    a[take:] = -1
+                if k == "dirn":
+                    a[take:] = 1
+                part[k] = self._put(a)
+            outs.append(_window_specs_call(
+                self._put(segs), self._put(np.asarray(lengths, np.int32)),
+                lut_s, is_tr, qc, part["seg_idx"], part["scan_idx"],
+                part["base"], part["dirn"], part["rlens"], part["offs"],
+                part["terms"], part["mreals"], m=self.m,
+                interpret=self.interpret))
+            lo += take
+        out = np.concatenate([np.asarray(o) for o in outs])
+        return np.ascontiguousarray(out[:rows], np.int32)
 
 
 @functools.partial(jax.jit,
@@ -672,6 +793,282 @@ def _device_scan2(segs, lengths, lut6_s, lut6_t, istr, qp2_s, qp2_t, *,
                                 interpret=interpret, unroll=unroll)
         thresh = gm_t.max(axis=-1)
     return thresh, cm_u8
+
+
+# --- candidate-window pass kernel -------------------------------------------
+#
+# Batched device equivalent of the per-candidate forward/reverse striped
+# passes (sswNew.cpp:1446-1547): each sublane row is one candidate window
+# (<= 256 ref columns) on the LANE axis, the shared query streamed as
+# grid-chunked columns — the transposed orientation keeps all DP state at
+# (R, 256) (2 vregs per 8-row block) instead of (R, |query|), and the
+# ref-gap prefix max spans the whole 256-lane axis so it is exact at any
+# cell magnitude.  The kernel emits per-lane (column max, first attaining
+# row) stats; window_stats_to_ends recovers the reference pass outputs
+# (best, end_col, end_row, terminate break) as vectorized host post-ops.
+# See scan/candidates.py for the exactness contract (offsets emulate
+# reversed-prefix queries; mreal is the per-row phantom-row bound of the
+# byte/word pass).
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pack_candidates(thresh, cm_u8, lengths, *, k: int):
+    """Device-side compaction of the scan colmax: byte-break, threshold
+    mask (min_score = trunc(0.8 * thresh), computed exactly as 4t//5 —
+    equal to the C double truncation for all t < 2^50), then the first k
+    above-threshold column (position, value) pairs per (segment,
+    transform).  Only ~k*3 bytes per pair cross the host link instead of
+    the full N-byte colmax row (the link may be slow); counts > k flag
+    overflow rows for a host-side full-row fallback."""
+    S, T, N = cm_u8.shape
+    cm = cm_u8.astype(jnp.int32)
+    lane = jnp.arange(N, dtype=jnp.int32)
+    sat = cm >= BYTE_SAT
+    first = jnp.where(sat.any(axis=-1), jnp.argmax(sat, axis=-1), N)
+    cmb = jnp.where(lane < first[..., None], cm, 0)
+    ms = 4 * thresh // 5
+    mask = (cmb > ms[..., None]) & (lane[None, None, :]
+                                    < lengths[:, None, None])
+    cnt = mask.sum(axis=-1).astype(jnp.int32)
+    # compaction via top_k (scatter is serialized on TPU): key = lane for
+    # candidates, N+lane otherwise; the k smallest keys are the first k
+    # candidate positions in order
+    key = jnp.where(mask, lane, N + lane)
+    neg_top, _ = jax.lax.top_k(-key, k)
+    pos = -neg_top  # ascending keys
+    good = pos < N
+    posc = jnp.where(good, pos, 0)
+    val = jnp.take_along_axis(cmb, posc, axis=-1)
+    return (jnp.where(good, posc, 0).astype(jnp.int16),
+            jnp.where(good, val, 0).astype(jnp.uint8), cnt)
+
+
+def pack_candidates_np(thresh: np.ndarray, cm_u8: np.ndarray,
+                       lengths: np.ndarray, k: int):
+    """Host mirror of _pack_candidates (XLA engine / tests)."""
+    S, T, N = cm_u8.shape
+    pos = np.zeros((S, T, k), np.int16)
+    val = np.zeros((S, T, k), np.uint8)
+    cnt = np.zeros((S, T), np.int32)
+    for s in range(S):
+        for t in range(T):
+            row = cm_u8[s, t].astype(np.int32)
+            satj = np.flatnonzero(row >= BYTE_SAT)
+            stop = int(satj[0]) if len(satj) else N
+            stop = min(stop, int(lengths[s]))
+            ms = 4 * int(thresh[s, t]) // 5
+            cand = np.flatnonzero(row[:stop] > ms)
+            cnt[s, t] = len(cand)
+            take = cand[:k]
+            pos[s, t, :len(take)] = take
+            val[s, t, :len(take)] = row[take]
+    return pos, val, cnt
+
+
+_WWIN = 256  # window lane width: cutlength <= (250+24)/1.4+1 = 196 < 256
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _window_specs_call(segs, lengths, lut_s, is_tr, qcodes, seg_idx,
+                       scan_idx, base, dirn, rlens, offs, terms, mreals,
+                       *, m: int, interpret: bool = False):
+    """Device-side window build + pass + ends reduction in one program.
+
+    segs uint8[S, N] (the scan batch's raw segment bytes, pad byte 0);
+    spec arrays int32[rows].  Window lane l reads the transformed segment
+    at position base + dirn*l (dirn -1 expresses the reverse pass's
+    reversed window read); rlens gates pad lanes to code 4.  Output
+    int32[rows, 3] = (best, end_col, end_row) with terminate semantics —
+    see window_stats_to_ends for the host-side mirror of the reduction.
+    """
+    S, N = segs.shape
+    rows = seg_idx.shape[0]
+    W = _WWIN
+    pos = jnp.arange(N, dtype=jnp.int32)
+    ridx = jnp.where(pos[None, :] < lengths[:, None],
+                     lengths[:, None] - 1 - pos[None, :], pos[None, :])
+    segs_rev = jnp.take_along_axis(segs, ridx, axis=1)
+    both = jnp.stack([segs, segs_rev]).reshape(-1)  # (2*S*N,)
+    li = jnp.arange(W, dtype=jnp.int32)[None, :]
+    p = jnp.clip(base[:, None] + dirn[:, None] * li, 0, N - 1)
+    segsel = jnp.where(is_tr[scan_idx], 1, 0).astype(jnp.int32)
+    byte = both[(segsel[:, None] * S + seg_idx[:, None]) * N + p]
+    code = lut_s[scan_idx[:, None], byte.astype(jnp.int32)]
+    code = jnp.where(li < rlens[:, None], code.astype(jnp.int32),
+                     4).astype(jnp.uint8)
+    R = 256
+    G = rows // R
+    rmeta = jnp.zeros((rows, 128), jnp.int32)
+    rmeta = rmeta.at[:, 0].set(offs).at[:, 1].set(mreals)
+    mx, mrow = _window_call(code.reshape(G, R, W),
+                            rmeta.reshape(G, R, 128), qcodes, m=m,
+                            interpret=interpret)
+    mx = mx.reshape(rows, W)
+    mrow = mrow.reshape(rows, W)
+    valid = li < rlens[:, None]
+    eqt = valid & (mx == terms[:, None]) & (terms[:, None] >= 0)
+    has = eqt.any(axis=1)
+    bcol = jnp.argmax(eqt, axis=1)
+    limit = jnp.where(has, bcol, W - 1)
+    pref = valid & (li <= limit[:, None])
+    mxv = jnp.where(pref, mx, 0)
+    best = mxv.max(axis=1)
+    ecol = jnp.argmax(mxv == best[:, None], axis=1).astype(jnp.int32)
+    erow = jnp.take_along_axis(mrow, ecol[:, None], axis=1)[:, 0]
+    none = best <= 0
+    return jnp.stack([best, jnp.where(none, -1, ecol),
+                      jnp.where(none, m - 1, erow)], axis=-1)
+
+
+def window_stats_to_ends(mx: np.ndarray, mrow: np.ndarray,
+                         terms: np.ndarray, rlens: np.ndarray,
+                         m: int) -> np.ndarray:
+    """Per-lane (column max, first attaining row) stats -> the scan-order
+    pass outputs (best, end_col, end_row) int32[rows, 3], with the
+    reverse pass's terminate semantics: the first lane whose column max
+    equals terms[r] is the break column — it still updates, later lanes
+    do not (sswNew.cpp:617; golden model kernels/align.py:_sw_end_pass).
+    """
+    rows, Wp = mx.shape
+    lane = np.arange(Wp)
+    valid = lane[None, :] < rlens[:, None]
+    eqt = valid & (mx == terms[:, None]) & (terms[:, None] >= 0)
+    has = eqt.any(axis=1)
+    bcol = np.argmax(eqt, axis=1)
+    limit = np.where(has, bcol, Wp - 1)
+    pref = valid & (lane[None, :] <= limit[:, None])
+    mxv = np.where(pref, mx, 0)
+    best = mxv.max(axis=1, initial=0)
+    ecol = np.argmax(mxv == best[:, None], axis=1)  # first attainment
+    erow = mrow[np.arange(rows), ecol]
+    none = best <= 0
+    out = np.stack([best, np.where(none, -1, ecol),
+                    np.where(none, m - 1, erow)], axis=-1)
+    return np.ascontiguousarray(out, np.int32)
+
+
+def _window_kernel(qc_ref, codes_ref, rmeta_ref, omx_ref, omr_ref,
+                   h_ref, e_ref, *, m: int, nq: int):
+    """Transposed window DP: the window sits on the 256-lane axis, the
+    shared query streams through the grid in 128-row chunks.
+
+    Per query row t the update is one (R, W) vector step; the per-lane
+    running (column max, first row attaining it) replaces the original
+    orientation's per-column cross-lane reductions (7x less state, no
+    VMEM-spilling (R, Mp) temporaries).  end_col / end_read / terminate
+    are recovered on host from the per-lane stats:
+
+      * end_col = first lane attaining the global max — identical to the
+        scan-order "last strict improvement" because a running max first
+        attains its final value exactly there;
+      * first-attainment row per lane == the lowest query row with
+        H == column max (the striped kernel's min-scan);
+      * the terminate break = first lane whose column max equals it,
+        with columns after it excluded — a host prefix mask.
+
+    rmeta lanes: 0 = offset (first real query row; rows below have zero
+    profile — reversed-prefix queries), 1 = mreal (exclusive row bound of
+    the stats update = m + phantom rows of the emulated byte/word pass).
+    """
+    R = codes_ref.shape[1]
+    W = codes_ref.shape[2]
+    go = jnp.int32(GAP_OPEN)
+    ge = jnp.int32(GAP_EXTEND)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        e_ref[:] = jnp.zeros_like(e_ref)
+        omx_ref[0] = jnp.zeros_like(omx_ref[0])
+        omr_ref[0] = jnp.full_like(omr_ref[0], m - 1)
+
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    fbias = lidx * ge
+    foff = go + (lidx - 1) * ge
+    codes = codes_ref[0].astype(jnp.int32)  # (R, W)
+    mt = rmeta_ref[0]
+    off = mt[:, 0:1]
+    mreal = pltpu.roll(mt, shift=_CHUNK - 1, axis=1)[:, 0:1]
+    base = pl.program_id(1) * _CHUNK
+    five = jnp.int32(5)
+    neg4 = jnp.int32(-4)
+
+    def col(j, carry):
+        qchunk, mx, mrow = carry
+        t = base + j
+        qt = qchunk[:, 0:1]  # (R, 1) current query code
+        # SSW matrix: +5 iff both real bases and equal, else -4 (N never
+        # matches, ssw_cpp.cpp kBaseTranslation + Aligner defaults)
+        s = jnp.where((codes == qt) & (qt < 4), five, neg4)
+        live = (t >= off) & (t < m)  # (R, 1): real query row for this row
+        s = jnp.where(live, s, 0)    # zero profile: offset + phantom rows
+        hp = h_ref[:]
+        ep = e_ref[:]
+        ev = jnp.maximum(ep - ge, hp - go)
+        diag = jnp.where(lidx >= 1, pltpu.roll(hp, shift=1, axis=1), 0)
+        tmp = jnp.maximum(jnp.maximum(diag + s, ev), 0)
+        run = tmp + fbias
+        k = 1
+        while k < W:
+            r = pltpu.roll(run, shift=k, axis=1)
+            run = jnp.maximum(run, jnp.where(lidx >= k, r, 0))
+            k *= 2
+        fv = jnp.where(lidx >= 1, pltpu.roll(run, shift=1, axis=1),
+                       _NEG) - foff
+        hn = jnp.maximum(tmp, fv)
+        h_ref[:] = hn
+        e_ref[:] = ev
+        upd = (hn > mx) & (t < mreal)
+        mx = jnp.where(upd, hn, mx)
+        mrow = jnp.where(upd, t, mrow)
+        qchunk = pltpu.roll(qchunk, shift=_CHUNK - 1, axis=1)
+        return qchunk, mx, mrow
+
+    # sublane-broadcast the query chunk to all R rows once per grid step
+    # (Mosaic cannot broadcast sublanes and lanes in a single op)
+    qchunk0 = jnp.broadcast_to(qc_ref[0, 0:1, :], (R, _CHUNK))
+    _, mx, mrow = jax.lax.fori_loop(
+        0, _CHUNK, col, (qchunk0, omx_ref[0], omr_ref[0]))
+    omx_ref[0] = mx
+    omr_ref[0] = mrow
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _window_call(codes, rmeta, qcodes, *, m: int, interpret: bool = False):
+    """codes uint8[G, R, W]; rmeta int32[G, R, 128] (lanes 0..1 = offset,
+    mreal); qcodes int32[NQ, 8, 128] query codes (8x sublane-replicated,
+    pad codes < 0) -> (mx int32[G, R, W], mrow int32[G, R, W]) per-lane
+    column stats."""
+    G, R, W = codes.shape
+    nq = qcodes.shape[0]
+    kernel = functools.partial(_window_kernel, m=m, nq=nq)
+    return pl.pallas_call(
+        kernel,
+        grid=(G, nq),
+        in_specs=[
+            pl.BlockSpec((1, 8, _CHUNK), lambda g, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 128), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, W), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, R, W), jnp.int32),
+            jax.ShapeDtypeStruct((G, R, W), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, W), jnp.int32),
+            pltpu.VMEM((R, W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qcodes, codes, rmeta)
 
 
 def apply_byte_break(colmax: np.ndarray) -> np.ndarray:

@@ -77,6 +77,20 @@ def _load():
             c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long,
             c.c_float, c.c_float, c.c_long, i32p, f32p, i64p, c.c_char_p,
             c.c_long]
+        lib.lt_segment_peaks.restype = c.c_long
+        lib.lt_segment_peaks.argtypes = [u8p, c.c_long, i32p, c.c_long,
+                                         c.c_long, i32p, c.c_long]
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        lib.lt_segment_peaks_packed.restype = c.c_long
+        lib.lt_segment_peaks_packed.argtypes = [i16p, u8p, i32p, c.c_long,
+                                                c.c_long, i32p, c.c_long]
+        lib.lt_finalize_pair.restype = c.c_long
+        lib.lt_finalize_pair.argtypes = [
+            i32p, c.c_long, i32p, c.c_long, c.c_char_p, c.c_char_p,
+            c.c_char_p, i32p, c.c_long, i32p, c.c_long, c.c_long, c.c_long,
+            c.c_long, c.c_long, c.c_long, c.c_long, c.c_long, c.c_long,
+            c.c_long, c.c_float, c.c_float, c.c_long, i32p, f32p, i64p,
+            c.c_char_p, c.c_long]
         _lib = lib
     return _lib
 
@@ -221,6 +235,84 @@ def sim_scan(rna: bytes, dna_t: bytes, src: bytes, dna_start_pos: int,
         out.append((int(ints[5 * k]), int(ints[5 * k + 1]),
                     int(ints[5 * k + 2]), int(ints[5 * k + 3]),
                     int(ints[5 * k + 4]), floats[3 * k],
+                    floats[3 * k + 1], floats[3 * k + 2],
+                    raw[io:io + il].decode(), raw[jo:jo + jl].decode()))
+    return out
+
+
+def segment_peaks(cm_u8: np.ndarray, cm_stride: int, thresh: np.ndarray,
+                  n: int) -> np.ndarray:
+    """Byte-break + preAlign peak clustering for all scans of one segment
+    (prefix of the candidate stage).  cm_u8: uint8[K, stride]; thresh:
+    int32[K]; n = real segment length.  Returns int32[npeaks, 3] rows
+    (scan_idx, score, position) in scan-major order.  Releases the GIL."""
+    lib = _load()
+    nscans = len(thresh)
+    cap = nscans * (n // 2 + 8)
+    out = np.empty(cap * 3, np.int32)
+    m = lib.lt_segment_peaks(
+        np.ascontiguousarray(cm_u8, np.uint8), cm_stride,
+        np.ascontiguousarray(thresh, np.int32), nscans, n, out, cap)
+    if m < 0:
+        raise RuntimeError("segment_peaks output buffer overflow")
+    return out[:m * 3].reshape(m, 3).copy()
+
+
+def segment_peaks_packed(pos: np.ndarray, val: np.ndarray,
+                         cnt: np.ndarray) -> np.ndarray:
+    """Peaks from device-packed candidates for one segment (no scan may
+    overflow — caller routes cnt > K scans through segment_peaks).
+    pos int16[K_scans, K]; val uint8[..]; cnt int32[K_scans].  Returns
+    int32[npeaks, 3] (scan_idx, score, position).  Releases the GIL."""
+    lib = _load()
+    nscans, K = pos.shape
+    cap = int(cnt.sum()) + 8
+    out = np.empty(cap * 3, np.int32)
+    m = lib.lt_segment_peaks_packed(
+        np.ascontiguousarray(pos, np.int16),
+        np.ascontiguousarray(val, np.uint8),
+        np.ascontiguousarray(cnt, np.int32), nscans, K, out, cap)
+    if m < 0:
+        raise RuntimeError("segment_peaks_packed output buffer overflow")
+    return out[:m * 3].reshape(m, 3).copy()
+
+
+def finalize_pair(q_idx: np.ndarray, r_idx: np.ndarray, rna: bytes,
+                  s2: bytes, src: bytes, wins: np.ndarray, mat: np.ndarray,
+                  go: int, ge: int, dna_start_pos: int, strand: int,
+                  para: int, nt_min: int, nt_max: int, penalty_t: int,
+                  penalty_c: int, min_identity: float,
+                  min_stability: float) -> list[tuple] | None:
+    """Tail of the candidate stage for one pair after the device window
+    passes: banded traceback + convert + dedup/top-50/filter.  wins:
+    int32[nw, 5] = (score, ref_begin, ref_end, query_begin, query_end),
+    segment-absolute.  Returns result tuples like fastsim_pair, or None on
+    a banded traceback error (caller falls back to the sequential path).
+    Releases the GIL."""
+    lib = _load()
+    cap = 64
+    strbuf_cap = 1 << 20
+    ints = np.empty(cap * 6, np.int32)
+    floats = np.empty(cap * 3, np.float32)
+    stroffs = np.empty(cap * 4, np.int64)
+    strbuf = ctypes.create_string_buffer(strbuf_cap)
+    n = lib.lt_finalize_pair(
+        q_idx, len(q_idx), r_idx, len(r_idx), rna, s2, src,
+        np.ascontiguousarray(wins, np.int32), len(wins), mat, mat.shape[1],
+        go, ge, dna_start_pos, strand, para, nt_min, nt_max, penalty_t,
+        penalty_c, min_identity, min_stability, cap, ints, floats, stroffs,
+        strbuf, strbuf_cap)
+    if n == -3:
+        return None
+    if n < 0:
+        raise RuntimeError("finalize_pair output buffer overflow")
+    out = []
+    raw = strbuf.raw
+    for k in range(n):
+        io, il, jo, jl = stroffs[4 * k: 4 * k + 4]
+        out.append((int(ints[6 * k]), int(ints[6 * k + 1]),
+                    int(ints[6 * k + 2]), int(ints[6 * k + 3]),
+                    int(ints[6 * k + 4]), floats[3 * k],
                     floats[3 * k + 1], floats[3 * k + 2],
                     raw[io:io + il].decode(), raw[jo:jo + jl].decode()))
     return out

@@ -67,20 +67,18 @@ struct Cand {
     std::string ra, rsrc;
 };
 
-// Peak clustering of above-threshold columns (preAlign,
-// ssw_cpp.cpp:444-572; mirrors kernels/align.py prealign_peaks).
-void peaks_of(const int32_t* colmax, long N, long threshold,
-              std::vector<std::pair<int32_t, long>>& out) {
-    std::vector<long> cand;
-    for (long j = 0; j < N; j++)
-        if (colmax[j] > threshold) cand.push_back(j);
-    const long n = (long)cand.size();
+// Peak clustering over an already-extracted candidate list (positions
+// ascending, values = byte-broken colmax) — the core of preAlign
+// (ssw_cpp.cpp:444-572; mirrors kernels/align.py prealign_peaks).
+template <typename PosT, typename ValT>
+void peaks_from_cands(const PosT* cand, const ValT* cval, long n,
+                      std::vector<std::pair<int32_t, long>>& out) {
     long num = 0;
     long output_num = -1;
     for (;;) {
         if (num + 1 > n) break;
         if (num == n - 1) {
-            out.emplace_back(colmax[cand[n - 1]], cand[n - 1]);
+            out.emplace_back((int32_t)cval[n - 1], (long)cand[n - 1]);
             break;
         }
         if (cand[num + 1] - cand[num] > 0 && cand[num + 1] - cand[num] < 5) {
@@ -88,24 +86,36 @@ void peaks_of(const int32_t* colmax, long N, long threshold,
             std::vector<int32_t> tmp;
             while (cand[num + 1] - cand[num] > 0 &&
                    cand[num + 1] - cand[num] < 5) {
-                tmp.push_back(colmax[cand[num]]);
+                tmp.push_back((int32_t)cval[num]);
                 num++;
                 if (num + 1 > n - 1) break;
             }
-            tmp.push_back(colmax[cand[num]]);
+            tmp.push_back((int32_t)cval[num]);
             num++;
             long max_index = 0;  // first maximum (std::find semantics)
             for (long t = 1; t < (long)tmp.size(); t++)
                 if (tmp[t] > tmp[max_index]) max_index = t;
             if (num != output_num)
-                out.emplace_back(colmax[cand[start + max_index]],
-                                 cand[start + max_index]);
+                out.emplace_back((int32_t)cval[start + max_index],
+                                 (long)cand[start + max_index]);
             output_num = start + max_index;
         } else {
-            out.emplace_back(colmax[cand[num]], cand[num]);
+            out.emplace_back((int32_t)cval[num], (long)cand[num]);
             num++;
         }
     }
+}
+
+// Peak clustering of above-threshold columns (full colmax row variant).
+void peaks_of(const int32_t* colmax, long N, long threshold,
+              std::vector<std::pair<int32_t, long>>& out) {
+    std::vector<int32_t> cand, cval;
+    for (long j = 0; j < N; j++)
+        if (colmax[j] > threshold) {
+            cand.push_back((int32_t)j);
+            cval.push_back(colmax[j]);
+        }
+    peaks_from_cands(cand.data(), cval.data(), (long)cand.size(), out);
 }
 
 // convertMyTriplex (fastsim.h:291-414) on one alignment.
@@ -311,6 +321,119 @@ long finish_pair(std::vector<Cand>& cands, long scan_idx, long nt_min,
 }  // namespace
 
 extern "C" {
+
+// Peak extraction for one segment across all scans (the host-side prefix
+// of the candidate stage when the window alignments run on device):
+// per scan, byte-break the uint8 colmax row (sswNew.cpp:384-386), then
+// run-cluster the above-threshold columns (preAlign, ssw_cpp.cpp:444-572).
+// out rows: (scan_idx, score, position), scan-major (reference transform
+// order).  Returns the peak count or -1 on overflow.
+long lt_segment_peaks(const uint8_t* cm_u8, long cm_stride,
+                      const int32_t* thresh, long nscans, long N,
+                      int32_t* out, long cap) {
+    std::vector<int32_t> cm(N);
+    std::vector<std::pair<int32_t, long>> peaks;
+    long nout = 0;
+    for (long k = 0; k < nscans; k++) {
+        const long min_score = (long)((double)thresh[k] * 0.8);
+        const uint8_t* row = cm_u8 + (size_t)k * cm_stride;
+        bool any = false;
+        long stop = N;
+        for (long j = 0; j < N; j++)
+            if (row[j] >= 251) {
+                stop = j;
+                break;
+            }
+        for (long j = 0; j < stop; j++) {
+            cm[j] = row[j];
+            if (cm[j] > min_score) any = true;
+        }
+        for (long j = stop; j < N; j++) cm[j] = 0;
+        if (!any) continue;
+        peaks.clear();
+        peaks_of(cm.data(), N, min_score, peaks);
+        for (auto& pk : peaks) {
+            if (nout >= cap) return -1;
+            out[nout * 3 + 0] = (int32_t)k;
+            out[nout * 3 + 1] = pk.first;
+            out[nout * 3 + 2] = (int32_t)pk.second;
+            nout++;
+        }
+    }
+    return nout;
+}
+
+// Packed-candidate variant of lt_segment_peaks: the byte-break +
+// threshold mask already ran on device; pos/val hold the first K
+// above-threshold columns per scan and cnt the true count (callers
+// handle cnt > K overflow rows separately before calling).  out rows:
+// (scan_idx, score, position).  Returns the peak count or -1 on overflow.
+long lt_segment_peaks_packed(const int16_t* pos, const uint8_t* val,
+                             const int32_t* cnt, long nscans, long K,
+                             int32_t* out, long cap) {
+    std::vector<std::pair<int32_t, long>> peaks;
+    long nout = 0;
+    for (long k = 0; k < nscans; k++) {
+        const long n = cnt[k] < K ? cnt[k] : K;
+        if (!n) continue;
+        peaks.clear();
+        peaks_from_cands(pos + k * K, val + k * K, n, peaks);
+        for (auto& pk : peaks) {
+            if (nout >= cap) return -1;
+            out[nout * 3 + 0] = (int32_t)k;
+            out[nout * 3 + 1] = pk.first;
+            out[nout * 3 + 2] = (int32_t)pk.second;
+            nout++;
+        }
+    }
+    return nout;
+}
+
+// Tail of the candidate stage for one (segment, transform) pair when the
+// forward/reverse window passes already ran on device: per winning
+// candidate (wins rows: score, ref_begin, ref_end, query_begin,
+// query_end — segment-absolute, the reference's post-sweep meta,
+// fastsim.h:250-255), banded_sw traceback + convertMyTriplex, then the
+// dedup/top-50/filter chain.  ints layout per output row: stari endi
+// starj endj nt scan_idx(0).  Returns the row count, -1 on buffer
+// overflow, or -3 on a banded traceback error (caller re-runs the pair
+// through lt_fastsim_pair).
+long lt_finalize_pair(const int32_t* q_idx, long M, const int32_t* r_idx,
+                      long N, const char* rna, const char* s2,
+                      const char* src, const int32_t* wins, long nw,
+                      const int32_t* mat, long mat_dim, long go, long ge,
+                      long dna_start_pos, long strand, long para,
+                      long nt_min, long nt_max, long penalty_t,
+                      long penalty_c, float min_identity,
+                      float min_stability, long cap, int32_t* ints,
+                      float* floats, int64_t* stroffs, char* strbuf,
+                      long strbuf_cap) {
+    std::vector<Cand> cands;
+    const long cig_cap = M + N + 8;
+    std::vector<int32_t> cig_len(cig_cap);
+    std::vector<char> cig_op(cig_cap);
+    for (long t = 0; t < nw; t++) {
+        int32_t meta[5];
+        std::memcpy(meta, wins + t * 5, sizeof(meta));
+        const long rb = meta[1], re = meta[2], qb = meta[3], qe = meta[4];
+        const long ref_len = re - rb + 1, read_len = qe - qb + 1;
+        long bw = ref_len - read_len;
+        if (bw < 0) bw = -bw;
+        bw += 1;
+        const long ncig =
+            fasim::banded(r_idx + rb, ref_len, q_idx + qb, read_len,
+                          meta[0], go, ge, bw, mat, mat_dim,
+                          cig_len.data(), cig_op.data(), cig_cap);
+        if (ncig == -1) return -3;  // traceback error: exact host rerun
+        if (ncig == -2) return -1;
+        convert(meta, cig_len.data(), cig_op.data(), ncig, rna, s2, src, N,
+                dna_start_pos, strand, para, nt_min, nt_max, penalty_t,
+                penalty_c, cands);
+    }
+    long soff = 0;
+    return finish_pair(cands, 0, nt_min, min_identity, min_stability, cap,
+                       ints, floats, stroffs, strbuf, strbuf_cap, 0, &soff);
+}
 
 // Full fastSIM candidate stage for one segment across all scans, in scan
 // order, minimizing per-pair Python overhead.  Per scan k:

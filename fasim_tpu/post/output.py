@@ -59,6 +59,7 @@ def cluster_triplex(dd: int, length: int, tlist: list[Triplex],
     max_near = 0
     max_pos = 0
     find = 0
+    warned = False
     for t in tlist:
         if t.nt > length:
             middle = (t.stari + t.endi) // 2
@@ -67,12 +68,25 @@ def cluster_triplex(dd: int, length: int, tlist: list[Triplex],
             near.setdefault(middle, 0)
             for i in range(-dd, dd + 1):
                 pos = middle + i
-                if pos < 0:
-                    # size_t key wrap-around: the reference's re-scan loop
-                    # never terminates sanely in this regime (UB)
-                    raise RuntimeError(
-                        "cluster midpoint within dd of RNA start: reference "
-                        "behavior undefined (size_t key wrap)")
+                if pos < 0 and not warned:
+                    # Reference UB: the key becomes (size_t)(negative int)
+                    # (Fasim-LongTarget.cpp:624); its re-scan loop
+                    # (i = 0..axis_map.size(), :680-688) then never passes
+                    # the huge leftover key — it zombie-inserts every i
+                    # until int overflow / OOM and produces no output
+                    # (verified by source analysis; a genome scan must not
+                    # die on one hit).  We keep the negative key: it is
+                    # correctly erased by nearby cluster picks (erase
+                    # wraps the same way, :675) and is never selected by
+                    # the i >= 0 re-scan — i.e. the output the reference
+                    # would produce with a sane loop bound.
+                    import warnings
+
+                    warnings.warn(
+                        "cluster midpoint within c_distance of the RNA "
+                        "start: reference behavior is a hang (size_t key "
+                        "wrap); emitting sane-loop-bound output instead")
+                    warned = True
                 if i > 0:
                     near[pos] = near.get(pos, 0) + (dd - i)
                 elif i < 0:
@@ -200,7 +214,7 @@ def write_cluster(c_level: int, cmap: dict[int, int], start_genome: int,
 
 def print_result(p: Params, species: str, lnc_name: str,
                  tlist: list[Triplex], chro_tag: str, dna_size: int,
-                 start_genome: int) -> str:
+                 start_genome: int, stdout_compat: bool = False) -> str:
     """printResult (Fasim-LongTarget.cpp:797-845).  Returns the TFOsorted
     path.  species/chro_tag/dna_size/start_genome come from the FIRST DNA
     record (main:164-166)."""
@@ -210,7 +224,14 @@ def print_result(p: Params, species: str, lnc_name: str,
     class1: list[dict[int, int]] = [dict() for _ in range(6)]
     cluster_triplex(p.c_distance, p.c_length, tlist, class1, 5)
     write_tfosorted(out_path, tlist)
+    prev = ""
     for level in (1, 2):
+        if stdout_compat:
+            # print_cluster's uninitialized-buffer quirk (:697-698): the
+            # char[3] prints stack garbage before sprintf — empty on the
+            # first call, the previous level's digits on later calls
+            print(f"{prev}{level}")
+            prev = str(level)
         write_cluster(level, class1[level], start_genome - 1, chro_tag,
                       dna_size, lnc_name, p.c_distance, p.c_length,
                       out_path, str(p.c_distance), str(p.c_length))

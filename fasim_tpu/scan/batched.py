@@ -88,6 +88,7 @@ class _ScanMeta:
             self.strands[k] = s["strand"]
             self.paras[k] = s["para"]
         self.ssw_enc = np.ascontiguousarray(rules.SSW_ENC, np.int8)
+        self.ssw_enc_u8 = rules.SSW_ENC.astype(np.uint8)
         self.mat = np.ascontiguousarray(rules.SSW_MAT, np.int32)
 
 
@@ -192,30 +193,75 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
     if max_inflight <= 0:
         max_inflight = 1 << 30
     max_inflight = max(max_inflight, 2) * len(engines)
-    host_backlog = max(4 * host_threads, 2 * batch_pairs)
+    host_backlog = 2 * max_inflight
 
     meta = _ScanMeta(scans)
     q_idx = np.ascontiguousarray(rules.SSW_ENC[rna], np.int32)
     rna_b = rna.tobytes()
     inflight: collections.deque = collections.deque()
     done: collections.deque = collections.deque()
-    with ThreadPoolExecutor(max_workers=host_threads) as pool:
+    use_windows = p.do_fast_sim and hasattr(engines[0], "window_pass_specs")
+    if use_windows:
+        from .candidates import candidate_stage_batch
 
-        def consume_oldest():
-            batch, segs, lengths, eng, (gm_dev, cm_dev) = inflight.popleft()
+        for e in engines:
+            e.setup_windows(rna)
+    # one stage thread per in-flight batch: the candidate stage's device
+    # round-trips (sweep rounds) overlap across batches
+    with ThreadPoolExecutor(max_workers=host_threads) as pool, \
+            ThreadPoolExecutor(max_workers=max(2, max_inflight)) as stages:
+
+        def process_batch(batch, segs, lengths, eng, out):
+            gm_dev, cm_dev = out[0], out[1]
+            cm_cache: dict = {}
+
+            def cm_get(sel):
+                # lazy full-row fetch (int or advanced-index tuple): a
+                # host slice when cm was pulled, a device-slice transfer
+                # otherwise (overflow/fallback paths)
+                if "cm" in cm_cache:
+                    return cm_cache["cm"][sel]
+                return np.asarray(cm_dev[sel])
+
             with STAGES.timer("device_wait"):
                 gm = np.asarray(gm_dev)
+                packed = None
                 if (gm >= BYTE_SAT).any():
                     # byte->word style escalation: exact thresholds need
-                    # the full-length prefix pass (rare)
+                    # the full-length prefix pass (rare); the packed
+                    # candidates used the stale threshold — drop them
                     gm = np.asarray(eng.scan_segments(
                         segs, lengths, full_prefix=True)[0])
+                    cm_cache["cm"] = np.asarray(cm_dev)
+                elif len(out) > 2:
+                    packed = (np.asarray(out[2]), np.asarray(out[3]),
+                              np.asarray(out[4]))
+                else:
+                    cm_cache["cm"] = np.asarray(cm_dev)
+            if use_windows:
+                return candidate_stage_batch(
+                    p, rna, q_idx, rna_b, meta, batch, segs, lengths, gm,
+                    cm_get, packed, eng, pool)
+            cm = cm_cache.get("cm")
+            if cm is None:
                 cm = np.asarray(cm_dev)
             stride = cm.shape[2]
-            for i, w in enumerate(batch):
-                done.append((w, pool.submit(
-                    _host_segment_stage, p, rna, q_idx, rna_b, meta, w,
-                    gm[i], cm[i], stride)))
+            return [(w, pool.submit(
+                _host_segment_stage, p, rna, q_idx, rna_b, meta, w,
+                gm[i], cm[i], stride)) for i, w in enumerate(batch)]
+
+        def consume_oldest():
+            stage_fut = inflight.popleft()
+            done.append(stage_fut)
+
+        def drain_done(min_keep: int):
+            # pop completed stage batches (in order); block on the oldest
+            # while more than min_keep are queued
+            while done and (len(done) > min_keep or done[0].done()):
+                for w0, fut in done.popleft().result():
+                    with STAGES.timer("host_candidate_wait"):
+                        hits = fut.result()
+                    yield w0, hits
 
         def dispatch(batch, k):
             segs = np.zeros((batch_pairs, n_pad), np.uint8)
@@ -225,8 +271,12 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
                 lengths[i] = len(w.segment)
             eng = engines[k % len(engines)]
             with STAGES.timer("device_dispatch"):
-                out = eng.scan_segments(segs, lengths)
-            inflight.append((batch, segs, lengths, eng, out))
+                if use_windows and hasattr(eng, "scan_segments_packed"):
+                    out = eng.scan_segments_packed(segs, lengths)
+                else:
+                    out = eng.scan_segments(segs, lengths)
+            inflight.append(stages.submit(
+                process_batch, batch, segs, lengths, eng, out))
 
         nbatch = 0
         batch: list[_Work] = []
@@ -236,11 +286,7 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
                 continue
             if len(inflight) >= max_inflight:
                 consume_oldest()
-            while len(done) > host_backlog:
-                w0, fut = done.popleft()
-                with STAGES.timer("host_candidate_wait"):
-                    hits = fut.result()
-                yield w0, hits
+            yield from drain_done(min_keep=host_backlog)
             dispatch(batch, nbatch)
             nbatch += 1
             batch = []
@@ -250,11 +296,7 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
             dispatch(batch, nbatch)
         while inflight:
             consume_oldest()
-        while done:
-            w0, fut = done.popleft()
-            with STAGES.timer("host_candidate_wait"):
-                hits = fut.result()
-            yield w0, hits
+        yield from drain_done(min_keep=0)
 
 
 def finalize_records(p: Params, records, per_record: list[list[Triplex]]

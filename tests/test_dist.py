@@ -32,7 +32,7 @@ def batch():
     return rna, codes_t, codes_s
 
 
-@pytest.mark.parametrize("shape", [(8, 1, 1), (2, 2, 2), (1, 4, 2)])
+@pytest.mark.parametrize("shape", [(8, 1), (2, 4), (1, 8)])
 def test_sharded_step_matches_golden_and_is_mesh_invariant(batch, shape):
     rna, codes_t, codes_s = batch
     eng = XlaScanEngine(rna)
@@ -51,7 +51,7 @@ def test_sharded_step_matches_golden_and_is_mesh_invariant(batch, shape):
                                 rules.SSW_MAT)
         np.testing.assert_array_equal(colmax[si, ti], want_cm)
     # mesh-shape invariance vs the single-axis layout
-    mesh1 = dist.make_mesh(8, 1, 1)
+    mesh1 = dist.make_mesh(8, 1)
     t1, c1 = dist.sharded_scan_step(mesh1, eng.m16)(
         codes_t, codes_s, eng.matq_thresh, eng.matq_ssw)
     np.testing.assert_array_equal(thresh, np.asarray(t1))
