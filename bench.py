@@ -36,6 +36,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 def bench_kernel(eng, rna, seg):
     from fasim_tpu import rules
 
+    eng.setup_scans(rules.scan_list(0, 0))
     n = len(seg)
     npad = (n + 127) // 128 * 128
     s_batch = 32
@@ -86,8 +87,10 @@ def bench_e2e_meg3():
 
     out_dir = "/tmp/fasim_bench_out"
     os.makedirs(out_dir, exist_ok=True)
-    p = Params(file1path=os.path.join(REPO, "oracle/meg3dna.fa"),
-               file2path=os.path.join(REPO, "oracle/MEG3.fa"),
+    # output filenames embed the -f1 path (reference quirk): run from the
+    # oracle dir so they match the committed goldens
+    os.chdir(os.path.join(REPO, "oracle"))
+    p = Params(file1path="meg3dna.fa", file2path="MEG3.fa",
                outpath=out_dir)
     tpu = TpuConfig()
     _, rna = fasta.read_rna(p.file2path)
@@ -115,9 +118,8 @@ def main() -> int:
     mb_s, wall, identical, stages, eng, rna = bench_e2e_meg3()
     _, rna_h19 = fasta.read_rna(os.path.join(REPO, "oracle/H19.fa"))
     recs = fasta.read_dna(os.path.join(REPO, "oracle/testDNA.fa"))
-    executed, effective = bench_kernel(
-        type(eng)(rna_h19) if not hasattr(eng, "interpret")
-        else type(eng)(rna_h19), rna_h19, recs[0].seq)
+    executed, effective = bench_kernel(type(eng)(rna_h19), rna_h19,
+                                       recs[0].seq)
     win = bench_window(eng, rna)
     print(json.dumps({
         "metric": "genome_scan_throughput",

@@ -103,16 +103,16 @@ def show_help() -> None:
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache (harmless if the backend's remote
-    compiler bypasses it; saves minutes per fresh process otherwise)."""
-    try:
+    """Persistent XLA compilation cache, opt-in via FASIM_COMPILE_CACHE=1
+    (the axon remote-compile backend wedges when it is on; that backend
+    keeps its own server-side cache instead)."""
+    if os.environ.get("FASIM_COMPILE_CACHE", "") not in ("", "0"):
         import jax
 
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/fasim_jax"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
 
 
 def make_engine(tpu: TpuConfig, rna):
@@ -152,7 +152,7 @@ def make_engine(tpu: TpuConfig, rna):
 def main(argv: list[str] | None = None) -> int:
     from .io import fasta
     from .post.output import print_result
-    from .scan.batched import scan_file_batched
+    from .scan.batched import scan_file_batched, scan_file_stream
     from .scan.pipeline import scan_file
 
     p, tpu = parse_args(sys.argv[1:] if argv is None else argv)
@@ -182,12 +182,19 @@ def main(argv: list[str] | None = None) -> int:
     if engine is None:
         records, lnc_name, rna, tlist = scan_file(p)
     else:
-        records, lnc_name, rna, tlist = scan_file_batched(
+        stream = (tpu.stream == "on"
+                  or (tpu.stream == "auto"
+                      and os.path.getsize(p.file1path) > 32 * 1024 * 1024))
+        runner = scan_file_stream if stream else scan_file_batched
+        records, lnc_name, rna, tlist = runner(
             p, engine, batch_pairs=tpu.segments_per_batch,
             max_inflight=tpu.max_inflight)
     first = records[0]
+    dna_size = getattr(first, "seq_len", None)
+    if dna_size is None:
+        dna_size = len(first.seq)
     print_result(p, first.species, lnc_name, tlist, first.chro_tag,
-                 len(first.seq), first.start_genome,
+                 dna_size, first.start_genome,
                  stdout_compat=tpu.stdout_compat)
     print("finished normally")
     if tpu.stdout_compat:

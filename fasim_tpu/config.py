@@ -70,6 +70,9 @@ class TpuConfig:
     # "dnaPos = N" per segment, the print_cluster level-quirk lines and
     # "Running time is ..."; Fasim-LongTarget.cpp:192,398,698,170).
     stdout_compat: bool = False
+    # Streaming record reader for genome-scale inputs: "auto" streams
+    # when the DNA file exceeds 32 MB; "on"/"off" force it.
+    stream: str = "auto"
 
 
 # Alignment scoring constants shared by both engines

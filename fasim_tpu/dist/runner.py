@@ -125,6 +125,13 @@ def main(argv=None) -> int:
     from ..cli import make_engine, parse_args
     from ..post.output import print_result
 
+    if os.environ.get("FASIM_CPU_PIN"):
+        # scaling harness: pin each loopback worker to one core so the
+        # XLA-CPU intra-op pool (sized to all cores) cannot thrash across
+        # processes and the speedup measures framework overhead
+        ncpu = os.cpu_count() or 1
+        os.sched_setaffinity(
+            0, {int(os.environ.get("FASIM_PID", "0")) % ncpu})
     p, tpu = parse_args(sys.argv[1:] if argv is None else argv)
     coord = os.environ.get("FASIM_COORD")
     if coord:
@@ -134,9 +141,23 @@ def main(argv=None) -> int:
             process_id=int(os.environ["FASIM_PID"]))
     else:
         jax.distributed.initialize()
-    records, lnc_name, rna, all_t = scan_distributed(
-        p, lambda r: make_engine(tpu, r), batch_pairs=tpu.segments_per_batch,
-        checkpoint_dir=os.environ.get("FASIM_CKPT") or None)
+    host_threads = int(os.environ.get("FASIM_HOST_THREADS", "0"))
+    reps = int(os.environ.get("FASIM_SCALING_REPS", "1"))
+    engine_factory = lambda r: make_engine(tpu, r)  # noqa: E731
+    for rep in range(reps):
+        # scaling harness: repeat the scan so rep > 0 measures the warm
+        # (compile-amortized) steady state; results are identical
+        import time as _time
+
+        t0 = _time.time()
+        records, lnc_name, rna, all_t = scan_distributed(
+            p, engine_factory, batch_pairs=tpu.segments_per_batch,
+            host_threads=host_threads,
+            checkpoint_dir=(os.environ.get("FASIM_CKPT") or None)
+            if reps == 1 else None)
+        if reps > 1 and jax.process_index() == 0:
+            print(f"FASIM_SCAN_SECONDS rep={rep} {_time.time() - t0:.3f}",
+                  flush=True)
     if jax.process_index() == 0:
         first = records[0]
         print_result(p, first.species, lnc_name, all_t, first.chro_tag,

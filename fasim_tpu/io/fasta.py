@@ -96,6 +96,25 @@ def read_dna(path: str) -> list[DnaRecord]:
     return records
 
 
+def iter_dna(path: str):
+    """Streaming read_dna: yields one DnaRecord at a time, holding at
+    most one record's sequence in memory (genome-scale inputs; identical
+    parse semantics to read_dna)."""
+    species, chro_tag, sg = "", "", 0
+    parts: list[str] = []
+    with open(path, "r") as f:
+        for line in f:
+            if parts and any(parts) and line.startswith(">"):
+                yield DnaRecord(species, chro_tag, sg,
+                                _to_u8("".join(parts)))
+                parts = []
+            if line.startswith(">"):
+                species, chro_tag, sg = _parse_header(line.rstrip("\n"))
+            else:
+                parts.append(_strip_crlf(line))
+    yield DnaRecord(species, chro_tag, sg, _to_u8("".join(parts)))
+
+
 def _to_u8(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
 

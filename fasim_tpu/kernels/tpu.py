@@ -432,6 +432,11 @@ class TpuScanEngine:
         self.qwin_rev = qcodes(rna[::-1])
         self.m = m
         self.win_rows = 512
+        # int16 DP is exact while every row index (m + phantom pad) fits
+        # (window cell values are bounded by 5*W regardless of m), but
+        # Mosaic cannot lower pltpu.roll on 16-bit data ("Rotate with
+        # non-32-bit data") — keep the plumbing off until it can
+        self.win16 = False
 
     def window_pass(self, codes: np.ndarray, offs: np.ndarray,
                     terms: np.ndarray, rlens: np.ndarray,
@@ -464,7 +469,7 @@ class TpuScanEngine:
             pending.append(_window_call(
                 self._put(cp[lo:lo + n].reshape(g, R, Wp)),
                 self._put(mt[lo:lo + n].reshape(g, R, 128)),
-                qc, m=m, interpret=self.interpret))
+                qc, m=m, interpret=self.interpret, use16=self.win16))
             lo += n
         mx = np.concatenate(
             [np.asarray(o[0]).reshape(-1, Wp) for o in pending])[:rows]
@@ -524,7 +529,7 @@ class TpuScanEngine:
                 lut_s, is_tr, qc, part["seg_idx"], part["scan_idx"],
                 part["base"], part["dirn"], part["rlens"], part["offs"],
                 part["terms"], part["mreals"], m=self.m,
-                interpret=self.interpret))
+                interpret=self.interpret, use16=self.win16))
             lo += take
         out = np.concatenate([np.asarray(o) for o in outs])
         return np.ascontiguousarray(out[:rows], np.int32)
@@ -868,10 +873,11 @@ def pack_candidates_np(thresh: np.ndarray, cm_u8: np.ndarray,
 _WWIN = 256  # window lane width: cutlength <= (250+24)/1.4+1 = 196 < 256
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+@functools.partial(jax.jit, static_argnames=("m", "interpret", "use16"))
 def _window_specs_call(segs, lengths, lut_s, is_tr, qcodes, seg_idx,
                        scan_idx, base, dirn, rlens, offs, terms, mreals,
-                       *, m: int, interpret: bool = False):
+                       *, m: int, interpret: bool = False,
+                       use16: bool = False):
     """Device-side window build + pass + ends reduction in one program.
 
     segs uint8[S, N] (the scan batch's raw segment bytes, pad byte 0);
@@ -902,9 +908,9 @@ def _window_specs_call(segs, lengths, lut_s, is_tr, qcodes, seg_idx,
     rmeta = rmeta.at[:, 0].set(offs).at[:, 1].set(mreals)
     mx, mrow = _window_call(code.reshape(G, R, W),
                             rmeta.reshape(G, R, 128), qcodes, m=m,
-                            interpret=interpret)
-    mx = mx.reshape(rows, W)
-    mrow = mrow.reshape(rows, W)
+                            interpret=interpret, use16=use16)
+    mx = mx.reshape(rows, W).astype(jnp.int32)
+    mrow = mrow.reshape(rows, W).astype(jnp.int32)
     valid = li < rlens[:, None]
     eqt = valid & (mx == terms[:, None]) & (terms[:, None] >= 0)
     has = eqt.any(axis=1)
@@ -948,7 +954,7 @@ def window_stats_to_ends(mx: np.ndarray, mrow: np.ndarray,
 
 
 def _window_kernel(qc_ref, codes_ref, rmeta_ref, omx_ref, omr_ref,
-                   h_ref, e_ref, *, m: int, nq: int):
+                   h_ref, e_ref, *, m: int, nq: int, dt=jnp.int32):
     """Transposed window DP: the window sits on the 256-lane axis, the
     shared query streams through the grid in 128-row chunks.
 
@@ -972,8 +978,8 @@ def _window_kernel(qc_ref, codes_ref, rmeta_ref, omx_ref, omr_ref,
     """
     R = codes_ref.shape[1]
     W = codes_ref.shape[2]
-    go = jnp.int32(GAP_OPEN)
-    ge = jnp.int32(GAP_EXTEND)
+    go = dt(GAP_OPEN)
+    ge = dt(GAP_EXTEND)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -982,16 +988,19 @@ def _window_kernel(qc_ref, codes_ref, rmeta_ref, omx_ref, omr_ref,
         omx_ref[0] = jnp.zeros_like(omx_ref[0])
         omr_ref[0] = jnp.full_like(omr_ref[0], m - 1)
 
-    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    lidx32 = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    lidx = lidx32.astype(dt)
     fbias = lidx * ge
-    foff = go + (lidx - 1) * ge
-    codes = codes_ref[0].astype(jnp.int32)  # (R, W)
+    foff = go + (lidx - dt(1)) * ge
+    neg = dt(jnp.iinfo(dt).min // 2)
+    codes = codes_ref[0].astype(dt)  # (R, W)
     mt = rmeta_ref[0]
     off = mt[:, 0:1]
     mreal = pltpu.roll(mt, shift=_CHUNK - 1, axis=1)[:, 0:1]
     base = pl.program_id(1) * _CHUNK
-    five = jnp.int32(5)
-    neg4 = jnp.int32(-4)
+    five = dt(5)
+    neg4 = dt(-4)
+    zero = dt(0)
 
     def col(j, carry):
         qchunk, mx, mrow = carry
@@ -999,49 +1008,56 @@ def _window_kernel(qc_ref, codes_ref, rmeta_ref, omx_ref, omr_ref,
         qt = qchunk[:, 0:1]  # (R, 1) current query code
         # SSW matrix: +5 iff both real bases and equal, else -4 (N never
         # matches, ssw_cpp.cpp kBaseTranslation + Aligner defaults)
-        s = jnp.where((codes == qt) & (qt < 4), five, neg4)
+        s = jnp.where((codes == qt) & (qt < dt(4)), five, neg4)
         live = (t >= off) & (t < m)  # (R, 1): real query row for this row
-        s = jnp.where(live, s, 0)    # zero profile: offset + phantom rows
+        s = jnp.where(live, s, zero)  # zero profile: offset + phantom rows
         hp = h_ref[:]
         ep = e_ref[:]
         ev = jnp.maximum(ep - ge, hp - go)
-        diag = jnp.where(lidx >= 1, pltpu.roll(hp, shift=1, axis=1), 0)
-        tmp = jnp.maximum(jnp.maximum(diag + s, ev), 0)
+        diag = jnp.where(lidx32 >= 1, pltpu.roll(hp, shift=1, axis=1),
+                         zero)
+        tmp = jnp.maximum(jnp.maximum(diag + s, ev), zero)
         run = tmp + fbias
         k = 1
         while k < W:
             r = pltpu.roll(run, shift=k, axis=1)
-            run = jnp.maximum(run, jnp.where(lidx >= k, r, 0))
+            run = jnp.maximum(run, jnp.where(lidx32 >= k, r, zero))
             k *= 2
-        fv = jnp.where(lidx >= 1, pltpu.roll(run, shift=1, axis=1),
-                       _NEG) - foff
+        fv = jnp.where(lidx32 >= 1, pltpu.roll(run, shift=1, axis=1),
+                       neg) - foff
         hn = jnp.maximum(tmp, fv)
         h_ref[:] = hn
         e_ref[:] = ev
         upd = (hn > mx) & (t < mreal)
         mx = jnp.where(upd, hn, mx)
-        mrow = jnp.where(upd, t, mrow)
+        mrow = jnp.where(upd, t.astype(dt), mrow)
         qchunk = pltpu.roll(qchunk, shift=_CHUNK - 1, axis=1)
         return qchunk, mx, mrow
 
     # sublane-broadcast the query chunk to all R rows once per grid step
     # (Mosaic cannot broadcast sublanes and lanes in a single op)
-    qchunk0 = jnp.broadcast_to(qc_ref[0, 0:1, :], (R, _CHUNK))
+    qchunk0 = jnp.broadcast_to(qc_ref[0, 0:1, :], (R, _CHUNK)).astype(dt)
     _, mx, mrow = jax.lax.fori_loop(
         0, _CHUNK, col, (qchunk0, omx_ref[0], omr_ref[0]))
     omx_ref[0] = mx
     omr_ref[0] = mrow
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret"))
-def _window_call(codes, rmeta, qcodes, *, m: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("m", "interpret", "use16"))
+def _window_call(codes, rmeta, qcodes, *, m: int, interpret: bool = False,
+                 use16: bool = False):
     """codes uint8[G, R, W]; rmeta int32[G, R, 128] (lanes 0..1 = offset,
-    mreal); qcodes int32[NQ, 8, 128] query codes (8x sublane-replicated,
-    pad codes < 0) -> (mx int32[G, R, W], mrow int32[G, R, W]) per-lane
-    column stats."""
+    mreal); qcodes int[NQ, 8, 128] query codes (8x sublane-replicated,
+    pad codes < 0) -> (mx, mrow)[G, R, W] per-lane column stats.
+
+    use16 runs the whole DP in int16 — exact whenever m + 15 < 32767:
+    window cells are bounded by 5*W = 1280 and fbias by 4*(W-1), so every
+    intermediate fits; int16 halves the VMEM traffic the kernel is bound
+    by.  The query-chunk carry stays in the qcodes dtype."""
     G, R, W = codes.shape
     nq = qcodes.shape[0]
-    kernel = functools.partial(_window_kernel, m=m, nq=nq)
+    dt = jnp.int16 if use16 else jnp.int32
+    kernel = functools.partial(_window_kernel, m=m, nq=nq, dt=dt)
     return pl.pallas_call(
         kernel,
         grid=(G, nq),
@@ -1060,12 +1076,12 @@ def _window_call(codes, rmeta, qcodes, *, m: int, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, R, W), jnp.int32),
-            jax.ShapeDtypeStruct((G, R, W), jnp.int32),
+            jax.ShapeDtypeStruct((G, R, W), dt),
+            jax.ShapeDtypeStruct((G, R, W), dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((R, W), jnp.int32),
-            pltpu.VMEM((R, W), jnp.int32),
+            pltpu.VMEM((R, W), dt),
+            pltpu.VMEM((R, W), dt),
         ],
         interpret=interpret,
     )(qcodes, codes, rmeta)

@@ -328,3 +328,70 @@ def scan_file_batched(p: Params, engine, batch_pairs: int = 32,
     per_record = scan_records(p, records, rna, engine, batch_pairs,
                               host_threads, max_inflight)
     return records, lnc_name, rna, finalize_records(p, records, per_record)
+
+
+@dataclasses.dataclass
+class RecordMeta:
+    """Header metadata of a streamed record (sequence dropped)."""
+
+    species: str
+    chro_tag: str
+    start_genome: int
+    seq_len: int
+
+
+def scan_file_stream(p: Params, engine, batch_pairs: int = 64,
+                     host_threads: int = 0, max_inflight: int = 8):
+    """Genome-scale streaming scan: records read lazily (one in memory at
+    a time), segments flow through the bounded-window driver, and each
+    record's hits are filtered + coordinate-fixed as soon as the record
+    completes.  Memory is O(dispatch window + current record), not
+    O(genome).  Returns (record_metas, lnc_name, rna, all_triplexes) —
+    bit-identical triplexes to scan_file_batched on the same input."""
+    lnc_name, rna = fasta.read_rna(p.file2path)
+    metas: list[RecordMeta] = []
+
+    def gen():
+        for ri, rec in enumerate(fasta.iter_dna(p.file1path)):
+            metas.append(RecordMeta(rec.species, rec.chro_tag,
+                                    rec.start_genome, len(rec.seq)))
+            segs, starts = fasta.cut_sequence(rec.seq, p.cut_length,
+                                              p.overlap_length)
+            for seg, start in zip(segs, starts):
+                if fasta.same_seq(seg):
+                    continue
+                yield _Work(ri, start, seg)
+
+    scans = rules.scan_list(p.rule, p.strand)
+    n_pad = (p.cut_length + 127) // 128 * 128
+    all_t: list[Triplex] = []
+    f32 = np.float32
+
+    def flush(ri: int, lst: list[Triplex]) -> None:
+        meta = metas[ri]
+        lst = [t for t in lst
+               if (t.score >= f32(p.score_min)
+                   and t.identity >= f32(p.min_identity)
+                   and t.tri_score >= f32(p.min_stability)
+                   and t.nt >= p.c_length)]
+        for t in lst:
+            if t.genomestart == 0:
+                t.chr = meta.chro_tag
+                t.genomestart = t.starj + meta.start_genome - 1
+                t.genomeend = t.endj + meta.start_genome - 1
+        all_t.extend(lst)
+
+    cur_ri = -1
+    cur: list[Triplex] = []
+    for w, found in iter_scan_work(p, rna, gen(), scans, engine, n_pad,
+                                   batch_pairs, host_threads,
+                                   max_inflight):
+        if w.record_idx != cur_ri:
+            if cur_ri >= 0:
+                flush(cur_ri, cur)
+            cur_ri = w.record_idx
+            cur = []
+        cur.extend(found)
+    if cur_ri >= 0:
+        flush(cur_ri, cur)
+    return metas, lnc_name, rna, all_t

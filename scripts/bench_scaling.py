@@ -35,11 +35,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def run_loopback(nproc: int, dna: str, rna: str, workdir: str) -> float:
+def run_loopback(nproc: int, dna: str, rna: str, workdir: str,
+                 golden_case: str = "meg3_sub3") -> float:
+    """Returns the WARM (second-rep, compile-amortized) scan seconds of
+    process 0; each worker is pinned to one host thread so speedup
+    measures the framework's shard/gather/merge overhead, not incidental
+    intra-process threading."""
     port = _free_port()
     out = os.path.join(workdir, f"out{nproc}")
     os.makedirs(out, exist_ok=True)
-    t0 = time.time()
     procs = []
     for pid in range(nproc):
         env = dict(os.environ)
@@ -50,6 +54,9 @@ def run_loopback(nproc: int, dna: str, rna: str, workdir: str) -> float:
             "FASIM_COORD": f"127.0.0.1:{port}",
             "FASIM_NPROC": str(nproc),
             "FASIM_PID": str(pid),
+            "FASIM_HOST_THREADS": "1",
+            "FASIM_SCALING_REPS": "2",
+            "FASIM_CPU_PIN": "1",
         })
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "fasim_tpu.dist.runner",
@@ -60,15 +67,20 @@ def run_loopback(nproc: int, dna: str, rna: str, workdir: str) -> float:
     for pr, text in zip(procs, outs):
         if pr.returncode != 0:
             raise RuntimeError(text.decode()[-2000:])
-    dt = time.time() - t0
-    golden = os.path.join(ORACLE, "golden", "meg3_sub3")
+    warm = None
+    for line in outs[0].decode().splitlines():
+        if line.startswith("FASIM_SCAN_SECONDS rep=1"):
+            warm = float(line.split()[-1])
+    if warm is None:
+        raise RuntimeError("no warm-rep timing line from process 0")
+    golden = os.path.join(ORACLE, "golden", golden_case)
     for name in os.listdir(golden):
         if name.startswith("stdout"):
             continue
         if not filecmp.cmp(os.path.join(out, name),
                            os.path.join(golden, name), shallow=False):
             raise RuntimeError(f"{nproc}-proc output differs: {name}")
-    return dt
+    return warm
 
 
 def main() -> int:
@@ -77,17 +89,29 @@ def main() -> int:
     procs = [int(x) for x in next(
         (a.split("=")[1] for a in sys.argv if a.startswith("--procs=")),
         "1,2,4").split(",")]
-    results = {}
+    # --full: the 532-record 1.32 Mb input (the 3-record default is too
+    # small to split: each process pads its share to one full batch)
+    full = "--full" in sys.argv
+    dna, case = (("meg3dna.fa", "meg3_full") if full
+                 else ("meg3sub3.fa", "meg3_sub3"))
+    results = {"input": dna}
     with tempfile.TemporaryDirectory() as td:
-        shutil.copy(os.path.join(ORACLE, "meg3sub3.fa"), td)
+        shutil.copy(os.path.join(ORACLE, dna), td)
         shutil.copy(os.path.join(ORACLE, "MEG3.fa"), td)
         for n in procs:
-            dt = run_loopback(n, "meg3sub3.fa", "MEG3.fa", td)
+            try:
+                dt = run_loopback(n, dna, "MEG3.fa", td, case)
+            except Exception as e:  # record, keep measuring other widths
+                results[str(n)] = {"error": str(e)[-300:]}
+                print(f"{n} proc: FAILED ({e})")
+                continue
             results[str(n)] = {"wall_s": round(dt, 2)}
             print(f"{n} proc: {dt:.2f}s")
-    base = results[str(procs[0])]["wall_s"]
+    base = results[str(procs[0])].get("wall_s")
     ncpu = os.cpu_count() or 1
     for n in procs:
+        if base is None or "wall_s" not in results[str(n)]:
+            continue
         # ideal speedup is capped by physical cores: oversubscribed
         # widths are judged against the core-bound ideal
         ideal = base * min(procs[0], ncpu) / min(n, ncpu)

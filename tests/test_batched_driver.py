@@ -23,3 +23,24 @@ def test_batched_scan_matches_sequential():
     assert len(seq_t) == len(bat_t)
     for a, b in zip(seq_t, bat_t):
         assert dataclasses.astuple(a) == dataclasses.astuple(b)
+
+
+def test_stream_matches_batched_multirecord():
+    """Streaming (lazy-record) scan == list scan on multi-record input,
+    including record metadata used for output headers."""
+    p = Params(file1path=os.path.join(ORACLE, "meg3sub3.fa"),
+               file2path=os.path.join(ORACLE, "MEG3.fa"))
+    from fasim_tpu.io import fasta
+
+    _, rna = fasta.read_rna(p.file2path)
+    eng = XlaScanEngine(rna)
+    recs, _, _, bat_t = batched.scan_file_batched(p, eng, batch_pairs=3)
+    eng2 = XlaScanEngine(rna)
+    metas, _, _, str_t = batched.scan_file_stream(p, eng2, batch_pairs=3)
+    assert len(metas) == len(recs)
+    for m, r in zip(metas, recs):
+        assert (m.species, m.chro_tag, m.start_genome, m.seq_len) == (
+            r.species, r.chro_tag, r.start_genome, len(r.seq))
+    assert len(bat_t) == len(str_t) > 0
+    for a, b in zip(bat_t, str_t):
+        assert dataclasses.astuple(a) == dataclasses.astuple(b)

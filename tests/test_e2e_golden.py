@@ -33,9 +33,9 @@ def test_demo_byte_identical(tmp_path, case, f1, f2, extra):
     out.mkdir()
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(ORACLE)
-    subprocess.run(
+    r = subprocess.run(
         [sys.executable, "-m", "fasim_tpu.cli", "-f1", f1,
-         "-f2", f2, "-O", "out/", *extra],
+         "-f2", f2, "-O", "out/", "--tpu-stdout-compat", "true", *extra],
         cwd=tmp_path, env=env, check=True, capture_output=True, timeout=600)
     produced = sorted(os.listdir(out))
     expected = sorted(f for f in os.listdir(golden_dir) if f != "stdout.txt")
@@ -43,3 +43,12 @@ def test_demo_byte_identical(tmp_path, case, f1, f2, extra):
     for name in expected:
         assert filecmp.cmp(out / name, os.path.join(golden_dir, name),
                            shallow=False), f"{case}/{name} differs"
+    # stdout compat: every line except the wall-clock one must match
+    golden_stdout = os.path.join(golden_dir, "stdout.txt")
+    if os.path.exists(golden_stdout):
+        def strip(text):
+            return [ln for ln in text.splitlines()
+                    if not ln.startswith("Running time is")]
+
+        with open(golden_stdout) as f:
+            assert strip(r.stdout.decode()) == strip(f.read()), case
