@@ -174,7 +174,8 @@ def main(argv: list[str] | None = None) -> int:
         # is identical when printed up front (record/segment order)
         lnc_probe, _ = fasta.read_rna(p.file2path)
         print(lnc_probe)
-        for rec in fasta.read_dna(p.file1path):
+        # iter_dna keeps memory O(current record) even in stream mode
+        for rec in fasta.iter_dna(p.file1path):
             _, starts = fasta.cut_sequence(rec.seq, p.cut_length,
                                            p.overlap_length)
             for s in starts:

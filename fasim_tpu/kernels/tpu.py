@@ -485,6 +485,10 @@ class TpuScanEngine:
         resident full colmax handle for escalation/overflow fallbacks
         (only sliced rows are ever transferred)."""
         thresh, cm = self.scan_segments(segs, lengths)
+        if segs.shape[1] > 32767:
+            # packed positions are int16: a cut_length beyond int16 range
+            # would wrap silently — serve the full colmax path instead
+            return thresh, cm
         lens = self._put(np.asarray(lengths, np.int32))
         pos, val, cnt = _pack_candidates(thresh, cm, lens, k=self.PACK_K)
         return thresh, cm, pos, val, cnt

@@ -71,6 +71,12 @@ def colmax_xla(codes: jax.Array, matq: jax.Array, *, m16: int) -> jax.Array:
 class XlaScanEngine:
     """numpy_engine-contract engine running as one jitted XLA program."""
 
+    # XLA-CPU compiles are cheap: the batched driver may trim partial
+    # batches to their real segment count instead of padding to the fixed
+    # dispatch shape (kernels/tpu keeps fixed shapes — Mosaic compiles
+    # cost 60-300 s each)
+    dynamic_batch = True
+
     def __init__(self, rna: np.ndarray, device=None):
         # device pins this engine to one local device (see TpuScanEngine)
         self._put = (jnp.asarray if device is None

@@ -224,12 +224,14 @@ def print_result(p: Params, species: str, lnc_name: str,
     class1: list[dict[int, int]] = [dict() for _ in range(6)]
     cluster_triplex(p.c_distance, p.c_length, tlist, class1, 5)
     write_tfosorted(out_path, tlist)
-    prev = ""
+    prev = "\x7f"
     for level in (1, 2):
         if stdout_compat:
             # print_cluster's uninitialized-buffer quirk (:697-698): the
-            # char[3] prints stack garbage before sprintf — empty on the
-            # first call, the previous level's digits on later calls
+            # char[3] prints stack garbage before sprintf — a stable
+            # \x7f byte on the first call (verified identical across all
+            # 8 committed golden stdouts), the previous level's digits on
+            # later calls
             print(f"{prev}{level}")
             prev = str(level)
         write_cluster(level, class1[level], start_genome - 1, chro_tag,

@@ -193,7 +193,7 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
     if max_inflight <= 0:
         max_inflight = 1 << 30
     max_inflight = max(max_inflight, 2) * len(engines)
-    host_backlog = 2 * max_inflight
+    host_backlog = min(2 * max_inflight, 256)
 
     meta = _ScanMeta(scans)
     q_idx = np.ascontiguousarray(rules.SSW_ENC[rna], np.int32)
@@ -208,8 +208,12 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
             e.setup_windows(rna)
     # one stage thread per in-flight batch: the candidate stage's device
     # round-trips (sweep rounds) overlap across batches
+    # stage workers are capped: with max_inflight=0 ("dispatch everything
+    # up front") the inflight window is effectively unbounded, but one OS
+    # thread per batch would not be
     with ThreadPoolExecutor(max_workers=host_threads) as pool, \
-            ThreadPoolExecutor(max_workers=max(2, max_inflight)) as stages:
+            ThreadPoolExecutor(
+                max_workers=max(2, min(64, max_inflight))) as stages:
 
         def process_batch(batch, segs, lengths, eng, out):
             gm_dev, cm_dev = out[0], out[1]
@@ -263,9 +267,16 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
                         hits = fut.result()
                     yield w0, hits
 
+        # engines whose compiles are cheap (XLA-CPU) trim partial batches
+        # to their real size — a 1-segment test batch would otherwise pay
+        # for batch_pairs segments of DP; Mosaic engines keep fixed shapes
+        # (one remote compile per shape costs more than the padded work)
+        trim = getattr(engines[0], "dynamic_batch", False)
+
         def dispatch(batch, k):
-            segs = np.zeros((batch_pairs, n_pad), np.uint8)
-            lengths = np.zeros(batch_pairs, np.int32)
+            n_rows = len(batch) if trim else batch_pairs
+            segs = np.zeros((n_rows, n_pad), np.uint8)
+            lengths = np.zeros(n_rows, np.int32)
             for i, w in enumerate(batch):
                 segs[i, :len(w.segment)] = w.segment
                 lengths[i] = len(w.segment)
