@@ -93,6 +93,9 @@ _PURE_OR_PAD[0] = True  # batch pad byte
 # room for the streamed code chunks
 PACK_ROWS = 384
 
+# widest window lane class: cutlength <= (250+24)/1.4+1 = 196 < 256
+_WWIN = 256
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -265,12 +268,13 @@ class TpuScanEngine:
         self._scan_luts = None
         self._scan_luts6 = None
 
-        # v2 kernel query rows: [q, hi, lo, nval, fbias-with-sentinel].
-        # The lane count rounds up to a 2048 bucket so kernels recompile
-        # per size class, not per query length (pad lanes are zero-profile
-        # and masked at m16 — provably inert; the sentinel fbias rows make
-        # the windowed prefix rolls exact).
-        mp2 = _round_up(self.m16 + 63, 2048)
+        # v2 kernel query rows: [q, hi, lo, nval, fbias-with-sentinel]
+        # (int32) / [q, hi, lo, nval, real-lane mask] (int16 variant).
+        # Lanes pad to the next 128 multiple with >= 63 sentinel lanes
+        # (m16 is a static jit arg, so kernels specialize per query
+        # length regardless — padding further would only waste lanes;
+        # pad lanes are zero-profile and masked at m16).
+        mp2 = _round_up(self.m16 + 63, 128)
         self.mp2 = mp2
 
         def make_qp2(enc, engine):
@@ -294,6 +298,19 @@ class TpuScanEngine:
 
         self.qp2_ssw = make_qp2(SSW_ENC, "ssw")
         self.qp2_thresh = make_qp2(THRESH_ENC, "thresh")
+        # int16-kernel aux rows: [0] pad-lane F poison (added into run),
+        # [1] pad-lane H cap (min'd into hn: exactly 0 on pads)
+        aux = np.zeros((2, mp2), np.int16)
+        aux[0, self.m16:] = _POISON16
+        aux[1, :self.m16] = np.iinfo(np.int16).max
+        self.aux16 = self._put(aux)
+        # The 16-bit kernel is compare-free (poison-add + cap-min pad
+        # handling, int32 score select) specifically so it can lower on
+        # narrow-ALU targets, but v5e Mosaic cannot legalize *any* packed
+        # int16 vector op (arith.maxsi on vector<8x128x2xi16> fails), so
+        # it stays opt-in: exact in interpret mode and ready for targets
+        # with packed-ALU support (TPU v6+), default-off on hardware.
+        self.scan16 = os.environ.get("FASIM_SCAN16", "0") == "1"
 
     def setup_scans(self, scans: list[dict]) -> None:
         """Precompute composed (rule transform ∘ encoder) LUTs for the
@@ -333,11 +350,16 @@ class TpuScanEngine:
         fwin_t = _FULL_WIN if full_prefix else 64
         if self.use_v2:
             lut6_s, lut6_t, istr = self._scan_luts6
+            # int16 DP is exact iff the score bound 5*min(m, n) fits with
+            # the decay margin; bitcast row-packing needs an even
+            # transform count
+            ok16 = (self.scan16 and istr.shape[0] % 2 == 0
+                    and 5 * min(self.m16, segs.shape[1]) <= 30000)
             return _device_scan2(
                 self._put(segs), self._put(np.asarray(lengths, np.int32)),
                 lut6_s, lut6_t, istr, self.qp2_ssw, self.qp2_thresh,
-                m16=self.m16, fwin_t=fwin_t, fused=fused,
-                interpret=self.interpret, unroll=self.unroll)
+                self.aux16, m16=self.m16, fwin_t=fwin_t, fused=fused,
+                interpret=self.interpret, unroll=self.unroll, use16=ok16)
         lut_s, lut_t, is_tr = self._scan_luts
         return _device_scan(
             self._put(segs), self._put(np.asarray(lengths, np.int32)),
@@ -417,10 +439,11 @@ class TpuScanEngine:
     def setup_windows(self, rna: np.ndarray) -> None:
         """Precompute the streamed query codes (forward + reversed); the
         query pads past m+15 (so every per-row phantom bound mreal <=
-        m+15 is reachable) up to a 2048 bucket (compile per size class,
-        not per query length; pad rows have code -1 = zero profile)."""
+        m+15 is reachable) to the next 128-row grid chunk (m is a static
+        jit arg, so padding further buys no compile reuse — it only adds
+        dead grid steps; pad rows have code -1 = zero profile)."""
         m = len(rna)
-        nqr = _round_up(m + 15, 2048)
+        nqr = _round_up(m + 15, 128)
 
         def qcodes(arr):
             q = np.full(nqr, -1, np.int32)
@@ -432,10 +455,11 @@ class TpuScanEngine:
         self.qwin_rev = qcodes(rna[::-1])
         self.m = m
         self.win_rows = 512
-        # int16 DP is exact while every row index (m + phantom pad) fits
-        # (window cell values are bounded by 5*W regardless of m), but
-        # Mosaic cannot lower pltpu.roll on 16-bit data ("Rotate with
-        # non-32-bit data") — keep the plumbing off until it can
+        # int16 window DP would be exact (cells bounded by 5*W + W*ge),
+        # but the kernel's per-row stats update needs 16-bit compares,
+        # which v5e Mosaic does not support ("Target does not support
+        # this comparison") — unlike the scan kernel, whose int16 path
+        # was reformulated compare-free.  Keep off until a target allows.
         self.win16 = False
 
     def window_pass(self, codes: np.ndarray, offs: np.ndarray,
@@ -497,8 +521,14 @@ class TpuScanEngine:
     # window codes are gathered on device from the batch's resident
     # segment bytes and the composed scan LUTs, and the scan-order ends
     # (incl. terminate) are reduced on device, so only tiny arrays cross
-    # the (slow) host<->device link
-    WIN_BUCKETS = (2048, 16384, 49152)
+    # the (slow) host<->device link.  Rows partition into lane-width
+    # classes (most sweep windows are <= 128 wide — half the DP work of
+    # the 256 class) and pad to a bucket ladder per class; all parts
+    # dispatch async before any result is forced, so the link latency is
+    # paid once per call, not per part.
+    WIN_BUCKETS = {128: (4096, 32768), _WWIN: (2048, 16384)}
+    _SPEC_KEYS = ("seg_idx", "scan_idx", "base", "dirn", "rlens", "offs",
+                  "terms", "mreals")
 
     def window_pass_specs(self, segs: np.ndarray, lengths: np.ndarray,
                           spec: dict, rev: bool) -> np.ndarray:
@@ -510,33 +540,42 @@ class TpuScanEngine:
             return np.zeros((0, 3), np.int32)
         qc = self.qwin_rev if rev else self.qwin_fwd
         lut_s, _, is_tr = self._scan_luts
-        outs = []
-        lo = 0
-        keys = ("seg_idx", "scan_idx", "base", "dirn", "rlens", "offs",
-                "terms", "mreals")
-        while lo < rows:
-            n = rows - lo
-            bucket = next((b for b in self.WIN_BUCKETS if b >= n),
-                          self.WIN_BUCKETS[-1])
-            take = min(n, bucket)
-            part = {}
-            for k in keys:
-                a = np.zeros(bucket, np.int32)
-                a[:take] = spec[k][lo:lo + take]
-                if k == "terms":
-                    a[take:] = -1
-                if k == "dirn":
-                    a[take:] = 1
-                part[k] = self._put(a)
-            outs.append(_window_specs_call(
-                self._put(segs), self._put(np.asarray(lengths, np.int32)),
-                lut_s, is_tr, qc, part["seg_idx"], part["scan_idx"],
-                part["base"], part["dirn"], part["rlens"], part["offs"],
-                part["terms"], part["mreals"], m=self.m,
-                interpret=self.interpret, use16=self.win16))
-            lo += take
-        out = np.concatenate([np.asarray(o) for o in outs])
-        return np.ascontiguousarray(out[:rows], np.int32)
+        segs_d = self._put(segs)
+        lens_d = self._put(np.asarray(lengths, np.int32))
+        rl = spec["rlens"]
+        narrow = rl <= 128
+        pending = []  # (dest row indices, device array, take)
+        for w in (128, _WWIN):
+            sel = np.flatnonzero(narrow if w == 128 else ~narrow)
+            if not len(sel):
+                continue
+            ladder = self.WIN_BUCKETS[w]
+            lo = 0
+            while lo < len(sel):
+                n = len(sel) - lo
+                bucket = next((b for b in ladder if b >= n), ladder[-1])
+                take = min(n, bucket)
+                idx = sel[lo:lo + take]
+                part = {}
+                for k in self._SPEC_KEYS:
+                    a = np.zeros(bucket, np.int32)
+                    a[:take] = spec[k][idx]
+                    if k == "terms":
+                        a[take:] = -1
+                    if k == "dirn":
+                        a[take:] = 1
+                    part[k] = self._put(a)
+                pending.append((idx, _window_specs_call(
+                    segs_d, lens_d, lut_s, is_tr, qc, part["seg_idx"],
+                    part["scan_idx"], part["base"], part["dirn"],
+                    part["rlens"], part["offs"], part["terms"],
+                    part["mreals"], m=self.m, w=w,
+                    interpret=self.interpret, use16=self.win16), take))
+                lo += take
+        out = np.zeros((rows, 3), np.int32)
+        for idx, dev, take in pending:
+            out[idx] = np.asarray(dev)[:take]
+        return out
 
 
 @functools.partial(jax.jit,
@@ -642,49 +681,103 @@ def _make_lut6(rule_lut: np.ndarray, enc: np.ndarray) -> np.ndarray:
     return enc[rule_lut[chars]].astype(np.int32)
 
 
-def _dp_col2(code, qprops_ref, h_ref, e_ref, idx, foff, go, ge,
+def _roll_l(x, shift: int):
+    """Lane roll for any dtype.  Mosaic's rotate lowers 32-bit data only;
+    sub-32-bit arrays are bitcast to int32 first — TPU packs narrow types
+    along the *sublane* axis (2nd-minor), so an int16[T, Mp] views as
+    int32[T/2, Mp] with each 32-bit lane holding two same-lane int16
+    values, and a lane roll of the view is exactly a lane roll of the
+    original (verified in interpret mode + hardware parity tests)."""
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, shift=shift, axis=1)
+    return pltpu.bitcast(
+        pltpu.roll(pltpu.bitcast(x, jnp.int32), shift=shift, axis=1),
+        x.dtype)
+
+
+# int16 pad-lane poison, applied by ADDITION (v5e Mosaic supports packed
+# 16-bit add/sub/max/min but not 16-bit compares or selects): poisoned
+# entries stay <= bound - 32000 < -63*ge - go (they lose against every
+# real F contribution, whose decay is at most the 63-lane window) and
+# the worst decayed poison -32000 - 63*ge - go > int16 min (no wrap).
+_POISON16 = -32000
+
+
+def _dp_col2(code, qprops_ref, aux16_ref, h_ref, e_ref, idx, foff, go, ge,
              engine: str, sentinel: bool, fwin: int, Mp: int):
-    """One column update for the v2 kernel; returns the new H row."""
+    """One column update for the v2 kernel; returns the new H row.
+
+    int32 path: vertical-gap prefix max over (tmp + i*ge), the sentinel
+    fbias row poisoning pad lanes (module comment).
+
+    int16 path (h_ref int16): the score select runs in int32 (no 16-bit
+    compares on v5e) and truncates; the F resolution is a *decaying*
+    prefix max — run_k(i) = max(run_{k-1}(i), run_{k-1}(i-2^k) - 2^k*ge)
+    — which keeps every intermediate within tmp's range (no i*ge bias
+    growing with lane index), so 16-bit is exact whenever final scores
+    fit.  Pad-lane protection is compare-free: aux16 row 0 adds the
+    poison into `run` (zero on real lanes), and aux16 row 1 caps pad-lane
+    H at exactly 0 via `min` — which also makes the lane-0 diagonal wrap
+    (from the last pad lane) the exact H=0 boundary condition, removing
+    the diag mask."""
+    dt = h_ref.dtype
     q = qprops_ref[0:1, :]
     hi = qprops_ref[1:2, :]
     lo = qprops_ref[2:3, :]
-    fbias = qprops_ref[4:5, :]
     s_col = jnp.where(code == q, hi, lo)
     if engine == "thresh":
         s_col = jnp.where(code == 5, qprops_ref[3:4, :], s_col)
     hp = h_ref[:]
     ep = e_ref[:]
     ev = jnp.maximum(ep - ge, hp - go)
-    diag = jnp.where(idx >= 1, pltpu.roll(hp, shift=1, axis=1), 0)
-    tmp = jnp.maximum(jnp.maximum(diag + s_col, ev), 0)
-    run = tmp + fbias
-    k = 1
-    while k < min(fwin, Mp):
-        r = pltpu.roll(run, shift=k, axis=1)
-        if sentinel:
-            run = jnp.maximum(run, r)
-        else:
-            run = jnp.maximum(run, jnp.where(idx >= k, r, 0))
-        k *= 2
-    if sentinel:
-        fv = pltpu.roll(run, shift=1, axis=1) - foff
+    if dt == jnp.int16:
+        assert sentinel
+        s16 = s_col.astype(dt)
+        diag = _roll_l(hp, 1)  # pad H == 0 -> exact lane-0 boundary
+        tmp = jnp.maximum(jnp.maximum(diag + s16, ev), dt.type(0))
+        run = tmp + aux16_ref[0:1, :]
+        k = 1
+        while k < min(fwin, Mp):
+            run = jnp.maximum(run, _roll_l(run, k) - dt.type(k * GAP_EXTEND))
+            k *= 2
+        fv = _roll_l(run, 1) - go
+        hn = jnp.minimum(jnp.maximum(tmp, fv), aux16_ref[1:2, :])
     else:
-        fv = jnp.where(idx >= 1, pltpu.roll(run, shift=1, axis=1),
-                       _NEG) - foff
-    hn = jnp.maximum(tmp, fv)
+        diag = jnp.where(idx >= 1, pltpu.roll(hp, shift=1, axis=1), 0)
+        tmp = jnp.maximum(jnp.maximum(diag + s_col, ev), 0)
+        fbias = qprops_ref[4:5, :]
+        run = tmp + fbias
+        k = 1
+        while k < min(fwin, Mp):
+            r = pltpu.roll(run, shift=k, axis=1)
+            if sentinel:
+                run = jnp.maximum(run, r)
+            else:
+                run = jnp.maximum(run, jnp.where(idx >= k, r, 0))
+            k *= 2
+        if sentinel:
+            fv = pltpu.roll(run, shift=1, axis=1) - foff
+        else:
+            fv = jnp.where(idx >= 1, pltpu.roll(run, shift=1, axis=1),
+                           _NEG) - foff
+        hn = jnp.maximum(tmp, fv)
     h_ref[:] = hn
     e_ref[:] = ev
     return hn
 
 
-def _scan2_kernel(bf_ref, br_ref, lut_ref, istr_ref, qprops_ref,
+def _scan2_kernel(bf_ref, br_ref, lut_ref, istr_ref, qprops_ref, aux16_ref,
                   cm_ref, gm_ref, h_ref, e_ref, *,
                   m16: int, fwin: int, engine: str, unroll: int = 1):
-    """One (segment, 128-column chunk) grid step over all T transforms."""
+    """One (segment, 128-column chunk) grid step over all T transforms.
+    DP dtype follows the scratch dtype (int32, or int16 when the caller
+    proves scores fit — the int16 variant halves the vreg footprint of
+    every elementwise op, the dominant cost of this op-bound kernel)."""
     T = lut_ref.shape[0]
     Mp = h_ref.shape[1]
-    go = jnp.int32(GAP_OPEN)
-    ge = jnp.int32(GAP_EXTEND)
+    dt = h_ref.dtype
+    go = dt.type(GAP_OPEN)
+    ge = dt.type(GAP_EXTEND)
     sentinel = fwin <= 64  # see module comment: pad lanes >= rolls
 
     @pl.when(pl.program_id(1) == 0)
@@ -694,7 +787,8 @@ def _scan2_kernel(bf_ref, br_ref, lut_ref, istr_ref, qprops_ref,
         gm_ref[0] = jnp.zeros_like(gm_ref[0])
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
-    foff = go + (idx - 1) * ge
+    foff = (jnp.int32(GAP_OPEN) + (idx - 1) * jnp.int32(GAP_EXTEND)
+            if dt == jnp.int32 else None)
     real_row = idx < m16
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, _CHUNK), 1)
 
@@ -712,9 +806,16 @@ def _scan2_kernel(bf_ref, br_ref, lut_ref, istr_ref, qprops_ref,
     def col(k, carry):
         chunk, cmacc = carry
         code = chunk[:, 0:1]
-        hn = _dp_col2(code, qprops_ref, h_ref, e_ref, idx, foff, go, ge,
-                      engine, sentinel, fwin, Mp)
-        cm = jnp.max(jnp.where(real_row, hn, 0), axis=1, keepdims=True)
+        hn = _dp_col2(code, qprops_ref, aux16_ref, h_ref, e_ref, idx,
+                      foff, go, ge, engine, sentinel, fwin, Mp)
+        if dt == jnp.int32:
+            masked = jnp.where(real_row, hn, 0)
+        else:
+            # pad lanes are capped at exactly 0 (aux16 row 1) and phantom
+            # rows < m16 count, so no mask is needed; Mosaic has no int16
+            # lane reduce — widen first
+            masked = hn.astype(jnp.int32)
+        cm = jnp.max(masked, axis=1, keepdims=True)
         cmacc = jnp.where(lane == k, cm, cmacc)
         chunk = pltpu.roll(chunk, shift=_CHUNK - 1, axis=1)
         return chunk, cmacc
@@ -728,15 +829,18 @@ def _scan2_kernel(bf_ref, br_ref, lut_ref, istr_ref, qprops_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("m16", "fwin", "engine", "interpret",
-                                    "unroll"))
-def _kernel2_call(bases, bases_rev, lut6, istr, qprops, *, m16: int,
+                                    "unroll", "use16"))
+def _kernel2_call(bases, bases_rev, lut6, istr, qprops, aux16, *, m16: int,
                   fwin: int, engine: str, interpret: bool = False,
-                  unroll: int = 1):
+                  unroll: int = 1, use16: bool = False):
     """bases/bases_rev: int32[S, Np]; lut6/istr: int32[T, 128];
-    qprops: int32[5, Mp] -> (colmax uint8[S, T, Np], gm int32[S, T, 128])."""
+    qprops: int32[5, Mp]; aux16: int16[2, Mp] (row 0 pad poison, row 1
+    pad H cap; ignored unless use16) -> (colmax uint8[S, T, Np],
+    gm int32[S, T, 128])."""
     S, Np = bases.shape
     T = lut6.shape[0]
     Mp = qprops.shape[1]
+    dt = jnp.int16 if use16 else jnp.int32
     nc = Np // _CHUNK
     bases = bases.reshape(S, nc, _CHUNK)
     bases_rev = bases_rev.reshape(S, nc, _CHUNK)
@@ -756,6 +860,8 @@ def _kernel2_call(bases, bases_rev, lut6, istr, qprops, *, m16: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((5, Mp), lambda s, c: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Mp), lambda s, c: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, T, _CHUNK), lambda s, c: (s, 0, c),
@@ -768,21 +874,24 @@ def _kernel2_call(bases, bases_rev, lut6, istr, qprops, *, m16: int,
             jax.ShapeDtypeStruct((S, T, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T, Mp), jnp.int32),
-            pltpu.VMEM((T, Mp), jnp.int32),
+            pltpu.VMEM((T, Mp), dt),
+            pltpu.VMEM((T, Mp), dt),
         ],
         interpret=interpret,
-    )(bases, bases_rev, lut6, istr, qprops)
+    )(bases, bases_rev, lut6, istr, qprops, aux16)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("m16", "fwin_t", "fused", "interpret",
-                                    "unroll"))
-def _device_scan2(segs, lengths, lut6_s, lut6_t, istr, qp2_s, qp2_t, *,
-                  m16: int, fwin_t: int, fused: bool,
-                  interpret: bool = False, unroll: int = 1):
+                                    "unroll", "use16"))
+def _device_scan2(segs, lengths, lut6_s, lut6_t, istr, qp2_s, qp2_t,
+                  aux16, *, m16: int, fwin_t: int, fused: bool,
+                  interpret: bool = False, unroll: int = 1,
+                  use16: bool = False):
     """v2 device scan: same contract as _device_scan (thresh int32[S, T],
-    colmax uint8[S, T, N]) with the decode/reduce/clamp all in-kernel."""
+    colmax uint8[S, T, N]) with the decode/reduce/clamp all in-kernel.
+    use16 runs the windowed passes in 16-bit; the escalated full-prefix
+    pass always stays int32 (its prefix rolls past the poison window)."""
     base_lut = jnp.asarray(_BASE6.astype(np.int32))
     base = base_lut[segs.astype(jnp.int32)]  # (S, N)
     S, N = base.shape
@@ -790,16 +899,19 @@ def _device_scan2(segs, lengths, lut6_s, lut6_t, istr, qp2_s, qp2_t, *,
     ridx = jnp.where(pos[None, :] < lengths[:, None],
                      lengths[:, None] - 1 - pos[None, :], pos[None, :])
     base_rev = jnp.take_along_axis(base, ridx, axis=1)
-    cm_u8, gm_s = _kernel2_call(base, base_rev, lut6_s, istr, qp2_s,
-                                m16=m16, fwin=fwin_t if fused else 64,
+    fwin_s = fwin_t if fused else 64
+    cm_u8, gm_s = _kernel2_call(base, base_rev, lut6_s, istr, qp2_s, aux16,
+                                m16=m16, fwin=fwin_s,
                                 engine="ssw", interpret=interpret,
-                                unroll=unroll)
+                                unroll=unroll,
+                                use16=use16 and fwin_s <= 64)
     if fused:
         thresh = gm_s.max(axis=-1)
     else:
-        _, gm_t = _kernel2_call(base, base_rev, lut6_t, istr, qp2_t,
+        _, gm_t = _kernel2_call(base, base_rev, lut6_t, istr, qp2_t, aux16,
                                 m16=m16, fwin=fwin_t, engine="thresh",
-                                interpret=interpret, unroll=unroll)
+                                interpret=interpret, unroll=unroll,
+                                use16=use16 and fwin_t <= 64)
         thresh = gm_t.max(axis=-1)
     return thresh, cm_u8
 
@@ -874,26 +986,29 @@ def pack_candidates_np(thresh: np.ndarray, cm_u8: np.ndarray,
     return pos, val, cnt
 
 
-_WWIN = 256  # window lane width: cutlength <= (250+24)/1.4+1 = 196 < 256
+# (window lane width class _WWIN is defined above the engine class)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret", "use16"))
+@functools.partial(jax.jit, static_argnames=("m", "w", "interpret",
+                                             "use16"))
 def _window_specs_call(segs, lengths, lut_s, is_tr, qcodes, seg_idx,
                        scan_idx, base, dirn, rlens, offs, terms, mreals,
-                       *, m: int, interpret: bool = False,
+                       *, m: int, w: int = _WWIN, interpret: bool = False,
                        use16: bool = False):
     """Device-side window build + pass + ends reduction in one program.
 
     segs uint8[S, N] (the scan batch's raw segment bytes, pad byte 0);
     spec arrays int32[rows].  Window lane l reads the transformed segment
     at position base + dirn*l (dirn -1 expresses the reverse pass's
-    reversed window read); rlens gates pad lanes to code 4.  Output
+    reversed window read); rlens gates pad lanes to code 4; `w` is the
+    lane width class (every rlen must be <= w — the caller partitions
+    rows by width so narrow windows pay for 128 lanes, not 256).  Output
     int32[rows, 3] = (best, end_col, end_row) with terminate semantics —
     see window_stats_to_ends for the host-side mirror of the reduction.
     """
     S, N = segs.shape
     rows = seg_idx.shape[0]
-    W = _WWIN
+    W = w
     pos = jnp.arange(N, dtype=jnp.int32)
     ridx = jnp.where(pos[None, :] < lengths[:, None],
                      lengths[:, None] - 1 - pos[None, :], pos[None, :])
@@ -1018,24 +1133,22 @@ def _window_kernel(qc_ref, codes_ref, rmeta_ref, omx_ref, omr_ref,
         hp = h_ref[:]
         ep = e_ref[:]
         ev = jnp.maximum(ep - ge, hp - go)
-        diag = jnp.where(lidx32 >= 1, pltpu.roll(hp, shift=1, axis=1),
-                         zero)
+        diag = jnp.where(lidx32 >= 1, _roll_l(hp, 1), zero)
         tmp = jnp.maximum(jnp.maximum(diag + s, ev), zero)
         run = tmp + fbias
         k = 1
         while k < W:
-            r = pltpu.roll(run, shift=k, axis=1)
+            r = _roll_l(run, k)
             run = jnp.maximum(run, jnp.where(lidx32 >= k, r, zero))
             k *= 2
-        fv = jnp.where(lidx32 >= 1, pltpu.roll(run, shift=1, axis=1),
-                       neg) - foff
+        fv = jnp.where(lidx32 >= 1, _roll_l(run, 1), neg) - foff
         hn = jnp.maximum(tmp, fv)
         h_ref[:] = hn
         e_ref[:] = ev
         upd = (hn > mx) & (t < mreal)
         mx = jnp.where(upd, hn, mx)
         mrow = jnp.where(upd, t.astype(dt), mrow)
-        qchunk = pltpu.roll(qchunk, shift=_CHUNK - 1, axis=1)
+        qchunk = _roll_l(qchunk, _CHUNK - 1)
         return qchunk, mx, mrow
 
     # sublane-broadcast the query chunk to all R rows once per grid step

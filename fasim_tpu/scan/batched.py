@@ -310,13 +310,24 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
         yield from drain_done(min_keep=0)
 
 
+def corenum_buckets(n: int) -> list[list[Triplex]]:
+    """Bucket list emulating the reference's `-C corenum` round-robin:
+    record i's triplexes append to bucket i % corenum, and the final
+    list is the buckets concatenated in bucket order (Fasim-LongTarget.
+    cpp:129-163 — no threads are ever spawned, but the permutation
+    changes TFOsorted row order within sort-tie classes because the
+    class sort is non-stable on pre-sort order, :813,:847-850)."""
+    return [[] for _ in range(max(1, n))]
+
+
 def finalize_records(p: Params, records, per_record: list[list[Triplex]]
                      ) -> list[Triplex]:
     """Final filter (Fasim-LongTarget.cpp:589-597) then genome-coordinate
-    fixup (main:141-149), concatenated in record order."""
-    all_t: list[Triplex] = []
+    fixup (main:141-149), concatenated in record order — through the
+    `-C` bucket permutation when corenum >= 2."""
+    buckets = corenum_buckets(p.corenum)
     f32 = np.float32
-    for rec, lst in zip(records, per_record):
+    for i, (rec, lst) in enumerate(zip(records, per_record)):
         lst = [t for t in lst
                if (t.score >= f32(p.score_min)
                    and t.identity >= f32(p.min_identity)
@@ -327,8 +338,8 @@ def finalize_records(p: Params, records, per_record: list[list[Triplex]]
                 t.chr = rec.chro_tag
                 t.genomestart = t.starj + rec.start_genome - 1
                 t.genomeend = t.endj + rec.start_genome - 1
-        all_t.extend(lst)
-    return all_t
+        buckets[i % len(buckets)].extend(lst)
+    return [t for b in buckets for t in b]
 
 
 def scan_file_batched(p: Params, engine, batch_pairs: int = 32,
@@ -375,7 +386,7 @@ def scan_file_stream(p: Params, engine, batch_pairs: int = 64,
 
     scans = rules.scan_list(p.rule, p.strand)
     n_pad = (p.cut_length + 127) // 128 * 128
-    all_t: list[Triplex] = []
+    buckets = corenum_buckets(p.corenum)
     f32 = np.float32
 
     def flush(ri: int, lst: list[Triplex]) -> None:
@@ -390,7 +401,7 @@ def scan_file_stream(p: Params, engine, batch_pairs: int = 64,
                 t.chr = meta.chro_tag
                 t.genomestart = t.starj + meta.start_genome - 1
                 t.genomeend = t.endj + meta.start_genome - 1
-        all_t.extend(lst)
+        buckets[ri % len(buckets)].extend(lst)
 
     cur_ri = -1
     cur: list[Triplex] = []
@@ -405,4 +416,4 @@ def scan_file_stream(p: Params, engine, batch_pairs: int = 64,
         cur.extend(found)
     if cur_ri >= 0:
         flush(cur_ri, cur)
-    return metas, lnc_name, rna, all_t
+    return metas, lnc_name, rna, [t for b in buckets for t in b]

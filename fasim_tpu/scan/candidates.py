@@ -233,37 +233,53 @@ def candidate_stage_batch(p: Params, rna: np.ndarray, q_idx: np.ndarray,
             "mreals": np.full(len(idx), m16, np.int32),
         }
 
-    # 2. Iden sweep: forward window passes, lazily per round
-    resolved = np.zeros(P, bool)
-    fb_score = np.zeros(P, np.int64)
-    fb_round = np.full(P, -1, np.int64)
+    # 2. Iden sweep in two speculative phases: round 0 for every peak
+    # (most peaks accept there — the Iden=0.6 window is the widest), then
+    # every remaining distinct (peak, cutlength) window of the
+    # non-accepting peaks in ONE second dispatch.  Two link round trips
+    # per batch regardless of sweep depth — the lazy per-round dispatch
+    # paid up to nr — while skipping ~60% of the device work a fully
+    # speculative all-rounds dispatch would waste on accepted peaks.
+    # The decision logic below reads only rounds up to acceptance, so
+    # results are bit-identical to the sequential sweep.
     r_best = np.zeros((P, nr), np.int64)
     r_ecol = np.full((P, nr), -1, np.int64)
     r_erow = np.zeros((P, nr), np.int64)
+    with STAGES.timer("cand_fwd_dev"):
+        out0 = eng.window_pass_specs(
+            segs, lengths, fwd_specs(np.arange(P), cutlens[:, 0]),
+            rev=False)
+    r_best[:, 0] = out0[:, 0]
+    r_ecol[:, 0] = out0[:, 1]
+    r_erow[:, 0] = out0[:, 2]
+    rest = np.flatnonzero(r_best[:, 0] < score)  # not accepted at round 0
+    if len(rest) and nr > 1:
+        # cutlengths are non-increasing over rounds, so duplicates are
+        # consecutive; dispatch only the distinct windows
+        uniq = cutlens[rest, 1:] != cutlens[rest, :-1]  # (len(rest), nr-1)
+        pk_r, rd_r = np.nonzero(uniq)
+        pk = rest[pk_r]
+        rd = rd_r + 1
+        with STAGES.timer("cand_fwd_dev"):
+            out = eng.window_pass_specs(
+                segs, lengths, fwd_specs(pk, cutlens[pk, rd]), rev=False)
+        r_best[pk, rd] = out[:, 0]
+        r_ecol[pk, rd] = out[:, 1]
+        r_erow[pk, rd] = out[:, 2]
+        for r in range(1, nr):
+            dup = rest[~uniq[:, r - 1]]  # identical window, identical DP
+            r_best[dup, r] = r_best[dup, r - 1]
+            r_ecol[dup, r] = r_ecol[dup, r - 1]
+            r_erow[dup, r] = r_erow[dup, r - 1]
+    # sweep decisions (fastsim.h:202-241): sw_score == forward best
+    resolved = np.zeros(P, bool)
+    fb_score = np.zeros(P, np.int64)
+    fb_round = np.full(P, -1, np.int64)
     for r in range(nr):
         live = np.flatnonzero(~resolved)
         if not len(live):
             break
         cl = cutlens[live, r]
-        if r > 0:
-            same = cutlens[live, r] == cutlens[live, r - 1]
-            # identical window -> identical DP: reuse previous round
-            idx_same = live[same]
-            r_best[idx_same, r] = r_best[idx_same, r - 1]
-            r_ecol[idx_same, r] = r_ecol[idx_same, r - 1]
-            r_erow[idx_same, r] = r_erow[idx_same, r - 1]
-            todo = live[~same]
-        else:
-            todo = live
-        if len(todo):
-            with STAGES.timer("cand_fwd_dev"):
-                out = eng.window_pass_specs(
-                    segs, lengths, fwd_specs(todo, cutlens[todo, r]),
-                    rev=False)
-            r_best[todo, r] = out[:, 0]
-            r_ecol[todo, r] = out[:, 1]
-            r_erow[todo, r] = out[:, 2]
-        # sweep decisions (fastsim.h:202-241): sw_score == forward best
         b = r_best[live, r]
         accept = b >= score[live]
         resolved[live[accept]] = True

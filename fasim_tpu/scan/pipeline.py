@@ -269,16 +269,19 @@ def long_target(p: Params, rna: np.ndarray, dna: np.ndarray,
 
 def scan_file(p: Params, engine=numpy_engine):
     """main's per-record loop (Fasim-LongTarget.cpp:121-163).  Returns
-    (records, lnc_name, rna, all_triplexes)."""
+    (records, lnc_name, rna, all_triplexes).  With -C corenum >= 2 the
+    reference round-robins each record's hits into corenum buckets and
+    concatenates the buckets (:129-163) — a pure list permutation (no
+    threads are spawned), emulated here for byte parity."""
     records = fasta.read_dna(p.file1path)
     lnc_name, rna = fasta.read_rna(p.file2path)
-    all_t: list[Triplex] = []
-    for rec in records:
+    buckets: list[list[Triplex]] = [[] for _ in range(max(1, p.corenum))]
+    for i, rec in enumerate(records):
         lst = long_target(p, rna, rec.seq, engine)
         for t in lst:
             if t.genomestart == 0:
                 t.chr = rec.chro_tag
                 t.genomestart = t.starj + rec.start_genome - 1
                 t.genomeend = t.endj + rec.start_genome - 1
-        all_t.extend(lst)
-    return records, lnc_name, rna, all_t
+        buckets[i % len(buckets)].extend(lst)
+    return records, lnc_name, rna, [t for b in buckets for t in b]
