@@ -1,13 +1,15 @@
 """Multi-host distributed scan runner.
 
 The reference is single-process (SURVEY.md §2.b); this is the framework's
-own scaling design: every process (host) reads the same inputs, takes a
-round-robin shard of the (record, segment) work list, scans it on its
-local devices, and the hit lists are allgathered and merged in global
-work order — so the merged result is bit-identical to a single-host run
-regardless of process count or completion order.  Clustering and output
-run on process 0 only (they are global over the RNA axis,
-Fasim-LongTarget.cpp:812).
+own scaling design: every process (host) *streams* the DNA records (one
+in memory at a time), takes a round-robin shard of the global
+(record, segment) work stream, scans it on its local devices through the
+bounded-window driver, and the hit lists are allgathered and merged in
+global work order — so the merged result is bit-identical to a
+single-host run regardless of process count or completion order, and
+per-host memory is O(dispatch window + current record), not O(genome).
+Clustering and output run on process 0 only (they are global over the
+RNA axis, Fasim-LongTarget.cpp:812).
 
 Collectives: two `process_allgather` rounds (hit-payload lengths, then
 padded payloads) over jax.distributed — ICI within a slice, DCN across
@@ -15,8 +17,8 @@ hosts.  Hit payloads are tiny (triplex records, not colmax arrays), so
 this gather is latency- not bandwidth-bound.
 
 Checkpoint/resume (SURVEY.md §5): with `checkpoint_dir` set, each host
-spills one pickle per finished work chunk; a restarted run reloads
-finished chunks and rescans only the rest.
+spills a pickle per `checkpoint_every` finished work items; a restarted
+run reloads the spills and rescans only the remaining shard.
 """
 
 from __future__ import annotations
@@ -26,10 +28,18 @@ import pickle
 
 import numpy as np
 
+from .. import rules
 from ..config import Params
 from ..io import fasta
-from ..scan.batched import enumerate_work, finalize_records, scan_work
+from ..scan.batched import (RecordMeta, _Work, corenum_buckets,
+                            iter_scan_work)
 from ..scan.pipeline import Triplex
+
+
+# scaling-harness attribution: wall seconds of the last local scan loop
+# and of the last allgather, per process (read by runner.main)
+LAST_LOCAL_SECONDS = 0.0
+LAST_GATHER_SECONDS = 0.0
 
 
 def _allgather_bytes(payload: bytes) -> list[bytes]:
@@ -54,15 +64,13 @@ def _allgather_bytes(payload: bytes) -> list[bytes]:
     return [gathered[i, :lens[i]].tobytes() for i in range(n)]
 
 
-def _checkpoint_path(ckpt_dir: str, pid: int, lo: int) -> str:
-    return os.path.join(ckpt_dir, f"host{pid}-work{lo}.pkl")
-
-
 def scan_distributed(p: Params, engine_factory, batch_pairs: int = 32,
                      host_threads: int = 0, checkpoint_dir: str | None = None,
-                     checkpoint_every: int = 64):
-    """Run the sharded scan.  Returns (records, lnc_name, rna, all_t) on
-    process 0 and (records, lnc_name, rna, None) elsewhere.
+                     checkpoint_every: int = 64, max_inflight: int = 8):
+    """Run the sharded streaming scan.  Returns (record_metas, lnc_name,
+    rna, all_t) on process 0 and (record_metas, lnc_name, rna, None)
+    elsewhere — record_metas are `RecordMeta` (headers + lengths only;
+    sequences are never held beyond the current record).
 
     engine_factory(rna) builds the local scan engine (TpuScanEngine /
     XlaScanEngine) — constructed after the query is read.
@@ -71,44 +79,101 @@ def scan_distributed(p: Params, engine_factory, batch_pairs: int = 32,
 
     pid = jax.process_index()
     nproc = jax.process_count()
-    records = fasta.read_dna(p.file1path)
     lnc_name, rna = fasta.read_rna(p.file2path)
-    work, scans = enumerate_work(p, records)
     engine = engine_factory(rna)
+    scans = rules.scan_list(p.rule, p.strand)
 
-    # contiguous chunks of the round-robin shard double as checkpoint units
-    my_idx = list(range(pid, len(work), nproc))
-    my_hits: dict[int, list[Triplex]] = {}
+    # checkpoint spills: {gidx: (record_idx, hits)} per finished slice
+    my_hits: dict[int, tuple[int, list[Triplex]]] = {}
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
-    for lo in range(0, len(my_idx), checkpoint_every):
-        chunk = my_idx[lo:lo + checkpoint_every]
-        if checkpoint_dir:
-            path = _checkpoint_path(checkpoint_dir, pid, lo)
-            if os.path.exists(path):
-                with open(path, "rb") as f:
+        for name in sorted(os.listdir(checkpoint_dir)):
+            if name.startswith(f"host{pid}-") and name.endswith(".pkl"):
+                with open(os.path.join(checkpoint_dir, name), "rb") as f:
                     my_hits.update(pickle.load(f))
-                continue
-        results = scan_work(p, rna, [work[i] for i in chunk], scans,
-                            engine, batch_pairs, host_threads)
-        found = {i: hits for i, (_, hits) in zip(chunk, results)}
-        my_hits.update(found)
-        if checkpoint_dir:
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                pickle.dump(found, f)
-            os.replace(tmp, path)
+    done = set(my_hits)
+    metas: list[RecordMeta] = []
 
+    def gen():
+        gidx = -1
+        for rec in fasta.iter_dna(p.file1path):
+            metas.append(RecordMeta(rec.species, rec.chro_tag,
+                                    rec.start_genome, len(rec.seq)))
+            segs, starts = fasta.cut_sequence(rec.seq, p.cut_length,
+                                              p.overlap_length)
+            for seg, start in zip(segs, starts):
+                if fasta.same_seq(seg):
+                    continue
+                gidx += 1
+                if gidx % nproc != pid or gidx in done:
+                    continue
+                yield _Work(len(metas) - 1, start, seg, gidx)
+
+    n_pad = (p.cut_length + 127) // 128 * 128
+    fresh: dict[int, tuple[int, list[Triplex]]] = {}
+    n_spill = 0
+
+    def spill():
+        nonlocal n_spill
+        path = os.path.join(checkpoint_dir,
+                            f"host{pid}-spill{n_spill:06d}.pkl")
+        n_spill += 1
+        while os.path.exists(path):  # resumed run: continue numbering
+            path = os.path.join(checkpoint_dir,
+                                f"host{pid}-spill{n_spill:06d}.pkl")
+            n_spill += 1
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(fresh, f)
+        os.replace(tmp, path)
+
+    global LAST_LOCAL_SECONDS, LAST_GATHER_SECONDS
+    import time as _time
+
+    t_local = _time.time()
+    for w, found in iter_scan_work(p, rna, gen(), scans, engine, n_pad,
+                                   batch_pairs, host_threads, max_inflight):
+        fresh[w.gidx] = (w.record_idx, found)
+        if checkpoint_dir and len(fresh) >= checkpoint_every:
+            spill()
+            my_hits.update(fresh)
+            fresh = {}
+    if fresh:
+        if checkpoint_dir:
+            spill()
+        my_hits.update(fresh)
+    LAST_LOCAL_SECONDS = _time.time() - t_local
+
+    t_gather = _time.time()
     gathered = _allgather_bytes(pickle.dumps(my_hits))
+    LAST_GATHER_SECONDS = _time.time() - t_gather
     if pid != 0:
-        return records, lnc_name, rna, None
-    merged: dict[int, list[Triplex]] = {}
+        return metas, lnc_name, rna, None
+    merged: dict[int, tuple[int, list[Triplex]]] = {}
     for blob in gathered:
         merged.update(pickle.loads(blob))
-    per_record: list[list[Triplex]] = [[] for _ in records]
-    for i in sorted(merged):  # global (record, segment) order
-        per_record[work[i].record_idx].extend(merged[i])
-    return records, lnc_name, rna, finalize_records(p, records, per_record)
+    # final filter + coordinate fixup + `-C` bucket permutation, in
+    # global (record, segment) order — identical to finalize_records
+    buckets = corenum_buckets(p.corenum)
+    f32 = np.float32
+    per_record: dict[int, list[Triplex]] = {}
+    for i in sorted(merged):
+        ri, hits = merged[i]
+        per_record.setdefault(ri, []).extend(hits)
+    for ri in sorted(per_record):
+        meta = metas[ri]
+        lst = [t for t in per_record[ri]
+               if (t.score >= f32(p.score_min)
+                   and t.identity >= f32(p.min_identity)
+                   and t.tri_score >= f32(p.min_stability)
+                   and t.nt >= p.c_length)]
+        for t in lst:
+            if t.genomestart == 0:
+                t.chr = meta.chro_tag
+                t.genomestart = t.starj + meta.start_genome - 1
+                t.genomeend = t.endj + meta.start_genome - 1
+        buckets[ri % len(buckets)].extend(lst)
+    return metas, lnc_name, rna, [t for b in buckets for t in b]
 
 
 def main(argv=None) -> int:
@@ -155,13 +220,17 @@ def main(argv=None) -> int:
             host_threads=host_threads,
             checkpoint_dir=(os.environ.get("FASIM_CKPT") or None)
             if reps == 1 else None)
-        if reps > 1 and jax.process_index() == 0:
-            print(f"FASIM_SCAN_SECONDS rep={rep} {_time.time() - t0:.3f}",
-                  flush=True)
+        if reps > 1:
+            # every process reports: the harness attributes efficiency
+            # loss to load imbalance (local spread) vs gather overhead
+            print(f"FASIM_SCAN_SECONDS rep={rep} pid={jax.process_index()}"
+                  f" total={_time.time() - t0:.3f}"
+                  f" local={LAST_LOCAL_SECONDS:.3f}"
+                  f" gather={LAST_GATHER_SECONDS:.3f}", flush=True)
     if jax.process_index() == 0:
         first = records[0]
         print_result(p, first.species, lnc_name, all_t, first.chro_tag,
-                     len(first.seq), first.start_genome)
+                     first.seq_len, first.start_genome)
         print("finished normally")
     return 0
 

@@ -269,12 +269,16 @@ class TpuScanEngine:
         self._scan_luts6 = None
 
         # v2 kernel query rows: [q, hi, lo, nval, fbias-with-sentinel]
-        # (int32) / [q, hi, lo, nval, real-lane mask] (int16 variant).
-        # Lanes pad to the next 128 multiple with >= 63 sentinel lanes
-        # (m16 is a static jit arg, so kernels specialize per query
-        # length regardless — padding further would only waste lanes;
-        # pad lanes are zero-profile and masked at m16).
-        mp2 = _round_up(self.m16 + 63, 128)
+        # (int32; the int16 variant reads only rows 0-3 + aux16).
+        # Lanes pad to the next 128 multiple with >= 64 sentinel lanes:
+        # the 6 prefix steps contaminate pad lanes [m16, m16+63) with
+        # rolled-up real values, so the final fv roll (lane 0 <- lane
+        # mp2-1) needs mp2-1 >= m16+63, i.e. pad >= 64 — with exactly 63
+        # a real F value leaks into lane 0.  (m16 is a static jit arg,
+        # so kernels specialize per query length regardless — padding
+        # further would only waste lanes; pad lanes are zero-profile and
+        # masked at m16.)
+        mp2 = _round_up(self.m16 + 64, 128)
         self.mp2 = mp2
 
         def make_qp2(enc, engine):
@@ -455,12 +459,8 @@ class TpuScanEngine:
         self.qwin_rev = qcodes(rna[::-1])
         self.m = m
         self.win_rows = 512
-        # int16 window DP would be exact (cells bounded by 5*W + W*ge),
-        # but the kernel's per-row stats update needs 16-bit compares,
-        # which v5e Mosaic does not support ("Target does not support
-        # this comparison") — unlike the scan kernel, whose int16 path
-        # was reformulated compare-free.  Keep off until a target allows.
-        self.win16 = False
+        # (the window DP stays int32: v5e Mosaic has no packed int16
+        # vector ALU, and the stats key packing needs 32-bit range)
 
     def window_pass(self, codes: np.ndarray, offs: np.ndarray,
                     terms: np.ndarray, rlens: np.ndarray,
@@ -493,12 +493,11 @@ class TpuScanEngine:
             pending.append(_window_call(
                 self._put(cp[lo:lo + n].reshape(g, R, Wp)),
                 self._put(mt[lo:lo + n].reshape(g, R, 128)),
-                qc, m=m, interpret=self.interpret, use16=self.win16))
+                qc, m=m, interpret=self.interpret))
             lo += n
-        mx = np.concatenate(
-            [np.asarray(o[0]).reshape(-1, Wp) for o in pending])[:rows]
-        mrow = np.concatenate(
-            [np.asarray(o[1]).reshape(-1, Wp) for o in pending])[:rows]
+        mk = np.concatenate(
+            [np.asarray(o).reshape(-1, Wp) for o in pending])[:rows]
+        mx, mrow = _decode_key(mk)
         return window_stats_to_ends(mx, mrow, terms, rlens, m)
 
     PACK_K = 384  # > p99 of measured candidate-column counts (270)
@@ -570,7 +569,7 @@ class TpuScanEngine:
                     part["scan_idx"], part["base"], part["dirn"],
                     part["rlens"], part["offs"], part["terms"],
                     part["mreals"], m=self.m, w=w,
-                    interpret=self.interpret, use16=self.win16), take))
+                    interpret=self.interpret), take))
                 lo += take
         out = np.zeros((rows, 3), np.int32)
         for idx, dev, take in pending:
@@ -664,10 +663,13 @@ def _device_scan(segs, lengths, lut_s, lut_t, is_tr, qprops_s, qprops_t,
 #     hi : lo (+ one N-row fixup for the threshold alphabet) — 2 ops vs 4.
 #   * the vertical-gap prefix max runs unmasked: the fbias row holds a
 #     -2^30 sentinel in the >= m16 alignment-pad lanes, and mp reserves
-#     >= 63 such lanes, so every wrapped lane a <= 32-lane roll can bring
-#     in is sentinel-valued and loses every max — 2 ops/round vs 3.  The
-#     full-length prefix of the escalated pass rolls farther than the pad
-#     region, so it keeps the masked form (rare path).
+#     >= 64 such lanes — the prefix steps progressively contaminate pad
+#     lanes [m16, m16+63) with rolled-up real values, so every wrapped
+#     read (steps target the top 32 lanes; the final fv roll targets the
+#     very top lane) stays inside still-sentineled territory only when
+#     the pad is >= 64 — 2 ops/round vs 3.  The full-length prefix of
+#     the escalated pass rolls farther than the pad region, so it keeps
+#     the masked form (rare path).
 _BASE6 = np.full(256, 5, np.uint8)  # A0 C1 G2 T3 U4, everything else N=5
 for _i, _c in enumerate(b"ACGTU"):
     _BASE6[_c] = _i
@@ -989,20 +991,19 @@ def pack_candidates_np(thresh: np.ndarray, cm_u8: np.ndarray,
 # (window lane width class _WWIN is defined above the engine class)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "w", "interpret",
-                                             "use16"))
+@functools.partial(jax.jit, static_argnames=("m", "w", "interpret"))
 def _window_specs_call(segs, lengths, lut_s, is_tr, qcodes, seg_idx,
                        scan_idx, base, dirn, rlens, offs, terms, mreals,
-                       *, m: int, w: int = _WWIN, interpret: bool = False,
-                       use16: bool = False):
+                       *, m: int, w: int = _WWIN, interpret: bool = False):
     """Device-side window build + pass + ends reduction in one program.
 
     segs uint8[S, N] (the scan batch's raw segment bytes, pad byte 0);
     spec arrays int32[rows].  Window lane l reads the transformed segment
     at position base + dirn*l (dirn -1 expresses the reverse pass's
     reversed window read); rlens gates pad lanes to code 4; `w` is the
-    lane width class (every rlen must be <= w — the caller partitions
-    rows by width so narrow windows pay for 128 lanes, not 256).  Output
+    lane width class (every rlen must be < w — the kernel's pad-lane
+    F poison needs the top lane free; the caller partitions rows by
+    width so narrow windows pay for 128 lanes, not 256).  Output
     int32[rows, 3] = (best, end_col, end_row) with terminate semantics —
     see window_stats_to_ends for the host-side mirror of the reduction.
     """
@@ -1025,11 +1026,10 @@ def _window_specs_call(segs, lengths, lut_s, is_tr, qcodes, seg_idx,
     G = rows // R
     rmeta = jnp.zeros((rows, 128), jnp.int32)
     rmeta = rmeta.at[:, 0].set(offs).at[:, 1].set(mreals)
-    mx, mrow = _window_call(code.reshape(G, R, W),
-                            rmeta.reshape(G, R, 128), qcodes, m=m,
-                            interpret=interpret, use16=use16)
-    mx = mx.reshape(rows, W).astype(jnp.int32)
-    mrow = mrow.reshape(rows, W).astype(jnp.int32)
+    mk = _window_call(code.reshape(G, R, W),
+                      rmeta.reshape(G, R, 128), qcodes, m=m,
+                      interpret=interpret)
+    mx, mrow = _decode_key(mk.reshape(rows, W))
     valid = li < rlens[:, None]
     eqt = valid & (mx == terms[:, None]) & (terms[:, None] >= 0)
     has = eqt.any(axis=1)
@@ -1072,16 +1072,23 @@ def window_stats_to_ends(mx: np.ndarray, mrow: np.ndarray,
     return np.ascontiguousarray(out, np.int32)
 
 
-def _window_kernel(qc_ref, codes_ref, rmeta_ref, omx_ref, omr_ref,
-                   h_ref, e_ref, *, m: int, nq: int, dt=jnp.int32):
+# per-lane stats key packing: key = colmax << _KT_BITS | (t-field), with
+# t-field = _KT_MASK - first_row.  max(key) == (max colmax, EARLIEST row
+# attaining it) in one op.  colmax <= 5*W = 1280 < 2^11 and the row field
+# holds queries up to 2^20 (MAX_LNCRNA = 1e6, stats.h:26), so the key
+# fits int32 with room to spare.
+_KT_BITS = 20
+_KT_MASK = (1 << _KT_BITS) - 1
+def _window_kernel(qc_ref, codes_ref, rmeta_ref, omk_ref, h_ref, e_ref,
+                   *, m: int, nq: int, unroll: int = 1):
     """Transposed window DP: the window sits on the 256-lane axis, the
     shared query streams through the grid in 128-row chunks.
 
     Per query row t the update is one (R, W) vector step; the per-lane
-    running (column max, first row attaining it) replaces the original
-    orientation's per-column cross-lane reductions (7x less state, no
-    VMEM-spilling (R, Mp) temporaries).  end_col / end_read / terminate
-    are recovered on host from the per-lane stats:
+    running stats key (column max, first row attaining it — see _KT_BITS)
+    replaces the original orientation's per-column cross-lane reductions
+    (7x less state, no VMEM-spilling (R, Mp) temporaries).  end_col /
+    end_read / terminate are recovered on host from the per-lane stats:
 
       * end_col = first lane attaining the global max — identical to the
         scan-order "last strict improvement" because a running max first
@@ -1097,84 +1104,90 @@ def _window_kernel(qc_ref, codes_ref, rmeta_ref, omx_ref, omr_ref,
     """
     R = codes_ref.shape[1]
     W = codes_ref.shape[2]
-    go = dt(GAP_OPEN)
-    ge = dt(GAP_EXTEND)
+    go = jnp.int32(GAP_OPEN)
+    ge = jnp.int32(GAP_EXTEND)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         h_ref[:] = jnp.zeros_like(h_ref)
         e_ref[:] = jnp.zeros_like(e_ref)
-        omx_ref[0] = jnp.zeros_like(omx_ref[0])
-        omr_ref[0] = jnp.full_like(omr_ref[0], m - 1)
+        omk_ref[0] = jnp.full_like(omk_ref[0], _KT_MASK - (m - 1))
 
-    lidx32 = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    lidx = lidx32.astype(dt)
-    fbias = lidx * ge
-    foff = go + (lidx - dt(1)) * ge
-    neg = dt(jnp.iinfo(dt).min // 2)
-    codes = codes_ref[0].astype(dt)  # (R, W)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    foff = go + (lidx - 1) * ge
+    neg = jnp.int32(-(2 ** 30))
+    codes = codes_ref[0].astype(jnp.int32)  # (R, W)
     mt = rmeta_ref[0]
     off = mt[:, 0:1]
     mreal = pltpu.roll(mt, shift=_CHUNK - 1, axis=1)[:, 0:1]
+    fbias = lidx * ge
     base = pl.program_id(1) * _CHUNK
-    five = dt(5)
-    neg4 = dt(-4)
-    zero = dt(0)
+    five = jnp.int32(5)
+    neg4 = jnp.int32(-4)
+    zero = jnp.int32(0)
 
     def col(j, carry):
-        qchunk, mx, mrow = carry
+        qchunk, mk = carry
         t = base + j
         qt = qchunk[:, 0:1]  # (R, 1) current query code
         # SSW matrix: +5 iff both real bases and equal, else -4 (N never
         # matches, ssw_cpp.cpp kBaseTranslation + Aligner defaults)
-        s = jnp.where((codes == qt) & (qt < dt(4)), five, neg4)
+        s = jnp.where((codes == qt) & (qt < 4), five, neg4)
         live = (t >= off) & (t < m)  # (R, 1): real query row for this row
         s = jnp.where(live, s, zero)  # zero profile: offset + phantom rows
         hp = h_ref[:]
         ep = e_ref[:]
         ev = jnp.maximum(ep - ge, hp - go)
-        diag = jnp.where(lidx32 >= 1, _roll_l(hp, 1), zero)
+        diag = jnp.where(lidx >= 1, pltpu.roll(hp, shift=1, axis=1), zero)
         tmp = jnp.maximum(jnp.maximum(diag + s, ev), zero)
+        # full-width prefix max: each step must mask the cyclic wrap
+        # (lanes < k) to zero — a per-row pad-lane poison does NOT work
+        # here, because the chain itself propagates real values through
+        # the pad region (every lane above rlen is contaminated after
+        # log2(W) steps), unlike the scan kernel whose 64-lane window
+        # stays clear of its >= 64 poisoned pad lanes
         run = tmp + fbias
         k = 1
         while k < W:
-            r = _roll_l(run, k)
-            run = jnp.maximum(run, jnp.where(lidx32 >= k, r, zero))
+            run = jnp.maximum(
+                run, jnp.where(lidx >= k,
+                               pltpu.roll(run, shift=k, axis=1), zero))
             k *= 2
-        fv = jnp.where(lidx32 >= 1, _roll_l(run, 1), neg) - foff
+        fv = jnp.where(lidx >= 1, pltpu.roll(run, shift=1, axis=1),
+                       neg) - foff
         hn = jnp.maximum(tmp, fv)
         h_ref[:] = hn
         e_ref[:] = ev
-        upd = (hn > mx) & (t < mreal)
-        mx = jnp.where(upd, hn, mx)
-        mrow = jnp.where(upd, t.astype(dt), mrow)
-        qchunk = _roll_l(qchunk, _CHUNK - 1)
-        return qchunk, mx, mrow
+        key = (hn << _KT_BITS) + (_KT_MASK - t)
+        mk = jnp.maximum(mk, jnp.where(t < mreal, key, zero))
+        qchunk = pltpu.roll(qchunk, shift=_CHUNK - 1, axis=1)
+        return qchunk, mk
 
     # sublane-broadcast the query chunk to all R rows once per grid step
     # (Mosaic cannot broadcast sublanes and lanes in a single op)
-    qchunk0 = jnp.broadcast_to(qc_ref[0, 0:1, :], (R, _CHUNK)).astype(dt)
-    _, mx, mrow = jax.lax.fori_loop(
-        0, _CHUNK, col, (qchunk0, omx_ref[0], omr_ref[0]))
-    omx_ref[0] = mx
-    omr_ref[0] = mrow
+    qchunk0 = jnp.broadcast_to(qc_ref[0, 0:1, :], (R, _CHUNK))
+    qchunk0 = qchunk0.astype(jnp.int32)
+    _, mk = jax.lax.fori_loop(0, _CHUNK, col, (qchunk0, omk_ref[0]),
+                              unroll=unroll)
+    omk_ref[0] = mk
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret", "use16"))
-def _window_call(codes, rmeta, qcodes, *, m: int, interpret: bool = False,
-                 use16: bool = False):
+def _decode_key(mk):
+    """Stats key -> (column max, first attaining row); works on jnp/np."""
+    return mk >> _KT_BITS, _KT_MASK - (mk & _KT_MASK)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _window_call(codes, rmeta, qcodes, *, m: int, interpret: bool = False):
     """codes uint8[G, R, W]; rmeta int32[G, R, 128] (lanes 0..1 = offset,
     mreal); qcodes int[NQ, 8, 128] query codes (8x sublane-replicated,
-    pad codes < 0) -> (mx, mrow)[G, R, W] per-lane column stats.
-
-    use16 runs the whole DP in int16 — exact whenever m + 15 < 32767:
-    window cells are bounded by 5*W = 1280 and fbias by 4*(W-1), so every
-    intermediate fits; int16 halves the VMEM traffic the kernel is bound
-    by.  The query-chunk carry stays in the qcodes dtype."""
+    pad codes < 0) -> stats keys int32[G, R, W] (_decode_key yields the
+    per-lane column max + first attaining row)."""
     G, R, W = codes.shape
     nq = qcodes.shape[0]
-    dt = jnp.int16 if use16 else jnp.int32
-    kernel = functools.partial(_window_kernel, m=m, nq=nq, dt=dt)
+    kernel = functools.partial(
+        _window_kernel, m=m, nq=nq,
+        unroll=int(os.environ.get("FASIM_WIN_UNROLL", "1")))
     return pl.pallas_call(
         kernel,
         grid=(G, nq),
@@ -1186,19 +1199,12 @@ def _window_call(codes, rmeta, qcodes, *, m: int, interpret: bool = False,
             pl.BlockSpec((1, R, 128), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, R, W), lambda g, c: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, W), lambda g, c: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, R, W), dt),
-            jax.ShapeDtypeStruct((G, R, W), dt),
-        ],
+        out_specs=pl.BlockSpec((1, R, W), lambda g, c: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, R, W), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((R, W), dt),
-            pltpu.VMEM((R, W), dt),
+            pltpu.VMEM((R, W), jnp.int32),
+            pltpu.VMEM((R, W), jnp.int32),
         ],
         interpret=interpret,
     )(qcodes, codes, rmeta)

@@ -51,6 +51,7 @@ class _Work:
     record_idx: int
     start: int  # dnaStartPos of the segment within the record
     segment: np.ndarray
+    gidx: int = -1  # global work index (distributed sharding/merge key)
 
 
 def enumerate_work(p: Params, records) -> tuple[list[_Work], list[dict]]:

@@ -81,6 +81,17 @@ def main() -> int:
                    outpath=out)
         tpu = TpuConfig()
         engines = make_engine(tpu, rna)
+        # warm-up pre-pass on a small slice: kernel compiles (60-130 s
+        # per shape through the remote backend) belong to process
+        # startup, not the steady-state Mb/s a genome-length run sees
+        warm_dna = os.path.join(td, "warm.fa")
+        synth_genome(warm_dna, 0.5, rna, seed=1)
+        warm_out = os.path.join(td, "warm_out")
+        os.mkdir(warm_out)
+        scan_file_stream(Params(file1path=warm_dna, file2path=p.file2path,
+                                outpath=warm_out), engines,
+                         batch_pairs=tpu.segments_per_batch,
+                         max_inflight=tpu.max_inflight)
         STAGES.start_run()
         t0 = time.time()
         metas, lnc, _, tlist = scan_file_stream(

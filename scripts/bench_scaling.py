@@ -67,11 +67,16 @@ def run_loopback(nproc: int, dna: str, rna: str, workdir: str,
     for pr, text in zip(procs, outs):
         if pr.returncode != 0:
             raise RuntimeError(text.decode()[-2000:])
-    warm = None
-    for line in outs[0].decode().splitlines():
-        if line.startswith("FASIM_SCAN_SECONDS rep=1"):
-            warm = float(line.split()[-1])
-    if warm is None:
+    stats = {"wall_s": None, "local_s": [], "gather_s": []}
+    for text in outs:
+        for line in text.decode().splitlines():
+            if line.startswith("FASIM_SCAN_SECONDS rep=1"):
+                kv = dict(t.split("=") for t in line.split()[1:])
+                if kv["pid"] == "0":
+                    stats["wall_s"] = round(float(kv["total"]), 2)
+                stats["local_s"].append(round(float(kv["local"]), 2))
+                stats["gather_s"].append(round(float(kv["gather"]), 2))
+    if stats["wall_s"] is None:
         raise RuntimeError("no warm-rep timing line from process 0")
     golden = os.path.join(ORACLE, "golden", golden_case)
     for name in os.listdir(golden):
@@ -80,7 +85,7 @@ def run_loopback(nproc: int, dna: str, rna: str, workdir: str,
         if not filecmp.cmp(os.path.join(out, name),
                            os.path.join(golden, name), shallow=False):
             raise RuntimeError(f"{nproc}-proc output differs: {name}")
-    return warm
+    return stats
 
 
 def main() -> int:
@@ -100,13 +105,14 @@ def main() -> int:
         shutil.copy(os.path.join(ORACLE, "MEG3.fa"), td)
         for n in procs:
             try:
-                dt = run_loopback(n, dna, "MEG3.fa", td, case)
+                stats = run_loopback(n, dna, "MEG3.fa", td, case)
             except Exception as e:  # record, keep measuring other widths
                 results[str(n)] = {"error": str(e)[-300:]}
                 print(f"{n} proc: FAILED ({e})")
                 continue
-            results[str(n)] = {"wall_s": round(dt, 2)}
-            print(f"{n} proc: {dt:.2f}s")
+            results[str(n)] = stats
+            print(f"{n} proc: {stats['wall_s']}s locals={stats['local_s']}"
+                  f" gathers={stats['gather_s']}")
     base = results[str(procs[0])].get("wall_s")
     ncpu = os.cpu_count() or 1
     for n in procs:

@@ -81,50 +81,102 @@ def main():
             P = len(peaks)
             cutlens = C.sweep_cutlengths(score, pos)
             nr = cutlens.shape[1]
-            uniq = np.ones((P, nr), bool)
-            uniq[:, 1:] = cutlens[:, 1:] != cutlens[:, :-1]
-            pk, rd = np.nonzero(uniq)
-            rows_hist.append((P, len(pk)))
-            spec = {
-                "seg_idx": seg_i[pk].astype(np.int32),
-                "scan_idx": scan_i[pk].astype(np.int32),
-                "base": (pos[pk] - cutlens[pk, rd] + 1).astype(np.int32),
-                "dirn": np.ones(len(pk), np.int32),
-                "rlens": cutlens[pk, rd].astype(np.int32),
-                "offs": np.zeros(len(pk), np.int32),
-                "terms": np.full(len(pk), -1, np.int32),
-                "mreals": np.full(len(pk), m16, np.int32),
-            }
+            m = len(rna)
+
+            def fwd_specs(idx, cl):
+                return {
+                    "seg_idx": seg_i[idx].astype(np.int32),
+                    "scan_idx": scan_i[idx].astype(np.int32),
+                    "base": (pos[idx] - cl + 1).astype(np.int32),
+                    "dirn": np.ones(len(idx), np.int32),
+                    "rlens": cl.astype(np.int32),
+                    "offs": np.zeros(len(idx), np.int32),
+                    "terms": np.full(len(idx), -1, np.int32),
+                    "mreals": np.full(len(idx), m16, np.int32),
+                }
+
+            # production two-phase dispatch (mirrors candidate_stage_batch)
+            r_best = np.zeros((P, nr), np.int64)
+            r_ecol = np.full((P, nr), -1, np.int64)
+            r_erow = np.zeros((P, nr), np.int64)
             t0 = time.time()
-            outw = eng.window_pass_specs(segs, lengths, spec, rev=False)
+            out0 = eng.window_pass_specs(
+                segs, lengths, fwd_specs(np.arange(P), cutlens[:, 0]),
+                rev=False)
             t["fwd"] += time.time() - t0
-            # rev pass on ~P winners (approximate with all peaks' round 0)
-            r0 = rd == 0
-            w0 = outw[r0]
-            wi = np.flatnonzero(w0[:, 0] > 0)
-            lanes = np.where(w0[wi, 0] >= BYTE_SAT, 8, 16)
+            r_best[:, 0] = out0[:, 0]
+            r_ecol[:, 0] = out0[:, 1]
+            r_erow[:, 0] = out0[:, 2]
+            nrows = P
+            rest = np.flatnonzero(r_best[:, 0] < score)
+            if len(rest) and nr > 1:
+                uniq = cutlens[rest, 1:] != cutlens[rest, :-1]
+                pk_r, rd_r = np.nonzero(uniq)
+                pk = rest[pk_r]
+                rd = rd_r + 1
+                nrows += len(pk)
+                t0 = time.time()
+                out = eng.window_pass_specs(
+                    segs, lengths, fwd_specs(pk, cutlens[pk, rd]),
+                    rev=False)
+                t["fwd"] += time.time() - t0
+                r_best[pk, rd] = out[:, 0]
+                r_ecol[pk, rd] = out[:, 1]
+                r_erow[pk, rd] = out[:, 2]
+                for r in range(1, nr):
+                    dup = rest[~uniq[:, r - 1]]
+                    r_best[dup, r] = r_best[dup, r - 1]
+                    r_ecol[dup, r] = r_ecol[dup, r - 1]
+                    r_erow[dup, r] = r_erow[dup, r - 1]
+            resolved = np.zeros(P, bool)
+            fb_round = np.full(P, -1, np.int64)
+            fb_score = np.zeros(P, np.int64)
+            for r in range(nr):
+                live = np.flatnonzero(~resolved)
+                if not len(live):
+                    break
+                b = r_best[live, r]
+                accept = b >= score[live]
+                resolved[live[accept]] = True
+                fb = (~accept & (b > fb_score[live])
+                      & (r_ecol[live, r] == cutlens[live, r] - 1))
+                fb_score[live[fb]] = b[fb]
+                fb_round[live[fb]] = r
+            chosen = np.where(
+                resolved, np.argmax(r_best >= score[:, None], axis=1),
+                nr - 1)
+            unres = ~resolved
+            chosen[unres & (fb_round >= 0)] = fb_round[
+                unres & (fb_round >= 0)]
+            c_best = r_best[np.arange(P), chosen]
+            c_ecol = r_ecol[np.arange(P), chosen]
+            c_erow = r_erow[np.arange(P), chosen]
+            c_cut = cutlens[np.arange(P), chosen]
+            wi = np.flatnonzero(c_best != 0)
+            lanes = np.where(c_best[wi] >= BYTE_SAT, 8, 16)
             spec_r = {
                 "seg_idx": seg_i[wi].astype(np.int32),
                 "scan_idx": scan_i[wi].astype(np.int32),
-                "base": (pos[wi] - cutlens[wi, 0] + 1
-                         + w0[wi, 1]).astype(np.int32),
+                "base": (pos[wi] - c_cut[wi] + 1
+                         + c_ecol[wi]).astype(np.int32),
                 "dirn": np.full(len(wi), -1, np.int32),
-                "rlens": (w0[wi, 1] + 1).astype(np.int32),
-                "offs": (len(rna) - 1 - w0[wi, 2]).astype(np.int32),
-                "terms": w0[wi, 0].astype(np.int32),
-                "mreals": (len(rna) + (-(w0[wi, 2] + 1)) % lanes
+                "rlens": (c_ecol[wi] + 1).astype(np.int32),
+                "offs": (m - 1 - c_erow[wi]).astype(np.int32),
+                "terms": c_best[wi].astype(np.int32),
+                "mreals": (m + (-(c_erow[wi] + 1)) % lanes
                            ).astype(np.int32),
             }
             t0 = time.time()
             eng.window_pass_specs(segs, lengths, spec_r, rev=True)
             t["rev"] += time.time() - t0
+            rows_hist.append((P, nrows, len(wi)))
         wall = time.time() - t_all
-        tot_p = sum(a for a, _ in rows_hist)
-        tot_r = sum(b for _, b in rows_hist)
+        tp, tf, tw = (sum(x) for x in zip(*rows_hist)) if rows_hist else (
+            0, 0, 0)
         print(f"rep{rep}: wall={wall:.1f}s "
               + " ".join(f"{k}={v:.1f}" for k, v in t.items())
-              + f" peaks={tot_p} fwd_rows={tot_r}"
-              + f" max_batch_rows={max((b for _, b in rows_hist), default=0)}")
+              + f" peaks={tp} fwd_rows={tf} rev_rows={tw}"
+              + f" max_batch_rows={max((b for _, b, _ in rows_hist), default=0)}")
 
 
 if __name__ == "__main__":

@@ -54,3 +54,27 @@ def test_scan16_matches_int32_and_xla(seed):
     assert np.array_equal(c16, c32)
     assert np.array_equal(g16, gx)
     assert np.array_equal(c16, cx)
+
+
+@pytest.mark.parametrize("m", [64, 190, 61])
+def test_pad_boundary_parity(m):
+    """Regression: the sentinel prefix needs >= 64 pad lanes.  With
+    round_up(m16+63) padding, m16 = 128k - 63 left exactly 63 pad lanes
+    and the final fv roll leaked a real F value into lane 0 (latent in
+    the 2048-bucket layout too, for m16 = 2048k - 63).  m = 64/190 sit
+    exactly on the pad-64 boundary of the fixed layout."""
+    rng = np.random.default_rng(m)
+    rna = rng.choice(np.frombuffer(b"ACGT", np.uint8), m)
+    n = 200
+    segs = np.zeros((2, 256), np.uint8)
+    for i in range(2):
+        segs[i, :n] = rng.choice(np.frombuffer(b"ACGT", np.uint8), n)
+    lengths = np.full(2, n, np.int32)
+    for scan16 in (False, True):
+        eng = _mk_engine(rna, scan16)
+        xla = XlaScanEngine(rna)
+        xla.setup_scans(rules.scan_list(0, 0))
+        g, c = (np.asarray(x) for x in eng.scan_segments(segs, lengths))
+        gx, cx = (np.asarray(x) for x in xla.scan_segments(segs, lengths))
+        assert np.array_equal(g, gx), f"scan16={scan16}"
+        assert np.array_equal(c, cx), f"scan16={scan16}"
