@@ -521,11 +521,15 @@ class TpuScanEngine:
     # segment bytes and the composed scan LUTs, and the scan-order ends
     # (incl. terminate) are reduced on device, so only tiny arrays cross
     # the (slow) host<->device link.  Rows partition into lane-width
-    # classes (most sweep windows are <= 128 wide — half the DP work of
-    # the 256 class) and pad to a bucket ladder per class; all parts
-    # dispatch async before any result is forced, so the link latency is
-    # paid once per call, not per part.
-    WIN_BUCKETS = {128: (4096, 32768), _WWIN: (2048, 16384)}
+    # classes — windows <= 64 pack TWO per 128-lane kernel row (half the
+    # rows AND a shallower gap prefix; the typical sweep window is 40-60
+    # wide), <= 128 get single 128-lane rows, the rest the full 256 —
+    # and pad to a bucket ladder per class; all parts dispatch async
+    # before any result is forced, so the link latency is paid once per
+    # call, not per part.  Bucket sizes are SPEC entries (the packed
+    # class fits 2 per kernel row).
+    WIN_BUCKETS = {64: (4096, 32768), 128: (4096, 32768),
+                   _WWIN: (2048, 16384)}
     _SPEC_KEYS = ("seg_idx", "scan_idx", "base", "dirn", "rlens", "offs",
                   "terms", "mreals")
 
@@ -542,10 +546,10 @@ class TpuScanEngine:
         segs_d = self._put(segs)
         lens_d = self._put(np.asarray(lengths, np.int32))
         rl = spec["rlens"]
-        narrow = rl <= 128
+        klass = np.where(rl <= 64, 64, np.where(rl <= 128, 128, _WWIN))
         pending = []  # (dest row indices, device array, take)
-        for w in (128, _WWIN):
-            sel = np.flatnonzero(narrow if w == 128 else ~narrow)
+        for w in (64, 128, _WWIN):
+            sel = np.flatnonzero(klass == w)
             if not len(sel):
                 continue
             ladder = self.WIN_BUCKETS[w]
@@ -564,12 +568,21 @@ class TpuScanEngine:
                     if k == "dirn":
                         a[take:] = 1
                     part[k] = self._put(a)
-                pending.append((idx, _window_specs_call(
-                    segs_d, lens_d, lut_s, is_tr, qc, part["seg_idx"],
-                    part["scan_idx"], part["base"], part["dirn"],
-                    part["rlens"], part["offs"], part["terms"],
-                    part["mreals"], m=self.m, w=w,
-                    interpret=self.interpret), take))
+                if w == 64:
+                    dev = _window_specs_call2(
+                        segs_d, lens_d, lut_s, is_tr, qc,
+                        part["seg_idx"], part["scan_idx"], part["base"],
+                        part["dirn"], part["rlens"], part["offs"],
+                        part["terms"], part["mreals"], m=self.m,
+                        interpret=self.interpret)
+                else:
+                    dev = _window_specs_call(
+                        segs_d, lens_d, lut_s, is_tr, qc,
+                        part["seg_idx"], part["scan_idx"], part["base"],
+                        part["dirn"], part["rlens"], part["offs"],
+                        part["terms"], part["mreals"], m=self.m, w=w,
+                        interpret=self.interpret)
+                pending.append((idx, dev, take))
                 lo += take
         out = np.zeros((rows, 3), np.int32)
         for idx, dev, take in pending:
@@ -991,6 +1004,27 @@ def pack_candidates_np(thresh: np.ndarray, cm_u8: np.ndarray,
 # (window lane width class _WWIN is defined above the engine class)
 
 
+def _ends_from_stats(mx, mrow, terms, rlens, m: int):
+    """Shared scan-order ends reduction (jnp): per-lane stats ->
+    (best, end_col, end_row) with terminate semantics; mirrors
+    window_stats_to_ends."""
+    W = mx.shape[1]
+    li = jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid = li < rlens[:, None]
+    eqt = valid & (mx == terms[:, None]) & (terms[:, None] >= 0)
+    has = eqt.any(axis=1)
+    bcol = jnp.argmax(eqt, axis=1)
+    limit = jnp.where(has, bcol, W - 1)
+    pref = valid & (li <= limit[:, None])
+    mxv = jnp.where(pref, mx, 0)
+    best = mxv.max(axis=1)
+    ecol = jnp.argmax(mxv == best[:, None], axis=1).astype(jnp.int32)
+    erow = jnp.take_along_axis(mrow, ecol[:, None], axis=1)[:, 0]
+    none = best <= 0
+    return jnp.stack([best, jnp.where(none, -1, ecol),
+                      jnp.where(none, m - 1, erow)], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "w", "interpret"))
 def _window_specs_call(segs, lengths, lut_s, is_tr, qcodes, seg_idx,
                        scan_idx, base, dirn, rlens, offs, terms, mreals,
@@ -1030,19 +1064,60 @@ def _window_specs_call(segs, lengths, lut_s, is_tr, qcodes, seg_idx,
                       rmeta.reshape(G, R, 128), qcodes, m=m,
                       interpret=interpret)
     mx, mrow = _decode_key(mk.reshape(rows, W))
-    valid = li < rlens[:, None]
-    eqt = valid & (mx == terms[:, None]) & (terms[:, None] >= 0)
-    has = eqt.any(axis=1)
-    bcol = jnp.argmax(eqt, axis=1)
-    limit = jnp.where(has, bcol, W - 1)
-    pref = valid & (li <= limit[:, None])
-    mxv = jnp.where(pref, mx, 0)
-    best = mxv.max(axis=1)
-    ecol = jnp.argmax(mxv == best[:, None], axis=1).astype(jnp.int32)
-    erow = jnp.take_along_axis(mrow, ecol[:, None], axis=1)[:, 0]
-    none = best <= 0
-    return jnp.stack([best, jnp.where(none, -1, ecol),
-                      jnp.where(none, m - 1, erow)], axis=-1)
+    return _ends_from_stats(mx, mrow, terms, rlens, m)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def _window_specs_call2(segs, lengths, lut_s, is_tr, qcodes, seg_idx,
+                        scan_idx, base, dirn, rlens, offs, terms, mreals,
+                        *, m: int, interpret: bool = False):
+    """Packed variant of _window_specs_call: spec arrays hold 2*rows_p
+    windows (entries 2i / 2i+1 are kernel row i's A / B halves), every
+    rlen <= 64; each kernel row computes two independent 64-lane DPs
+    (subw=64 — see _window_kernel), halving both the row count and the
+    gap-prefix depth for the narrow-window majority.  Output int32
+    [2*rows_p, 3] in spec order."""
+    S, N = segs.shape
+    n2 = seg_idx.shape[0]
+    rows_p = n2 // 2
+    W = 128
+    sub = 64
+    pos = jnp.arange(N, dtype=jnp.int32)
+    ridx = jnp.where(pos[None, :] < lengths[:, None],
+                     lengths[:, None] - 1 - pos[None, :], pos[None, :])
+    segs_rev = jnp.take_along_axis(segs, ridx, axis=1)
+    both = jnp.stack([segs, segs_rev]).reshape(-1)  # (2*S*N,)
+    li = jnp.arange(W, dtype=jnp.int32)[None, :]
+    lsub = li % sub
+    in_a = li < sub
+
+    def vec(arr):  # (2*rows_p,) -> (rows_p, W) A/B-selected
+        ab = arr.reshape(rows_p, 2)
+        return jnp.where(in_a, ab[:, 0:1], ab[:, 1:2])
+
+    base_v = vec(base)
+    dirn_v = vec(dirn)
+    scan_v = vec(scan_idx)
+    seg_v = vec(seg_idx)
+    rlen_v = vec(rlens)
+    p = jnp.clip(base_v + dirn_v * lsub, 0, N - 1)
+    segsel = jnp.where(is_tr[scan_v], 1, 0).astype(jnp.int32)
+    byte = both[(segsel * S + seg_v) * N + p]
+    code = lut_s[scan_v, byte.astype(jnp.int32)]
+    code = jnp.where(lsub < rlen_v, code.astype(jnp.int32),
+                     4).astype(jnp.uint8)
+    R = 256
+    G = rows_p // R
+    ab_om = offs.reshape(rows_p, 2)
+    ab_mr = mreals.reshape(rows_p, 2)
+    rmeta = jnp.zeros((rows_p, 128), jnp.int32)
+    rmeta = (rmeta.at[:, 0].set(ab_om[:, 0]).at[:, 1].set(ab_mr[:, 0])
+             .at[:, 3].set(ab_om[:, 1]).at[:, 4].set(ab_mr[:, 1]))
+    mk = _window_call(code.reshape(G, R, W),
+                      rmeta.reshape(G, R, 128), qcodes, m=m, subw=sub,
+                      interpret=interpret)
+    mx, mrow = _decode_key(mk.reshape(n2, sub))
+    return _ends_from_stats(mx, mrow, terms, rlens, m)
 
 
 def window_stats_to_ends(mx: np.ndarray, mrow: np.ndarray,
@@ -1080,7 +1155,7 @@ def window_stats_to_ends(mx: np.ndarray, mrow: np.ndarray,
 _KT_BITS = 20
 _KT_MASK = (1 << _KT_BITS) - 1
 def _window_kernel(qc_ref, codes_ref, rmeta_ref, omk_ref, h_ref, e_ref,
-                   *, m: int, nq: int, unroll: int = 1):
+                   *, m: int, nq: int, subw: int = 0, unroll: int = 1):
     """Transposed window DP: the window sits on the 256-lane axis, the
     shared query streams through the grid in 128-row chunks.
 
@@ -1101,9 +1176,15 @@ def _window_kernel(qc_ref, codes_ref, rmeta_ref, omk_ref, h_ref, e_ref,
     rmeta lanes: 0 = offset (first real query row; rows below have zero
     profile — reversed-prefix queries), 1 = mreal (exclusive row bound of
     the stats update = m + phantom rows of the emulated byte/word pass).
+    With subw = W/2 each kernel row holds TWO independent windows (lanes
+    [0, subw) and [subw, W)): every lane-index mask switches to
+    lidx % subw so the DP, gap prefix and diagonal never cross the half
+    boundary, and the B window's offset/mreal live in rmeta lanes 3..4.
     """
     R = codes_ref.shape[1]
     W = codes_ref.shape[2]
+    if subw <= 0:
+        subw = W
     go = jnp.int32(GAP_OPEN)
     ge = jnp.int32(GAP_EXTEND)
 
@@ -1114,13 +1195,22 @@ def _window_kernel(qc_ref, codes_ref, rmeta_ref, omk_ref, h_ref, e_ref,
         omk_ref[0] = jnp.full_like(omk_ref[0], _KT_MASK - (m - 1))
 
     lidx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    foff = go + (lidx - 1) * ge
+    lmod = lidx % subw if subw != W else lidx
+    foff = go + (lmod - 1) * ge
     neg = jnp.int32(-(2 ** 30))
     codes = codes_ref[0].astype(jnp.int32)  # (R, W)
     mt = rmeta_ref[0]
-    off = mt[:, 0:1]
-    mreal = pltpu.roll(mt, shift=_CHUNK - 1, axis=1)[:, 0:1]
-    fbias = lidx * ge
+    if subw != W:
+        in_a = lidx < subw
+        off = jnp.where(in_a, mt[:, 0:1],
+                        pltpu.roll(mt, shift=_CHUNK - 3, axis=1)[:, 0:1])
+        mreal = jnp.where(
+            in_a, pltpu.roll(mt, shift=_CHUNK - 1, axis=1)[:, 0:1],
+            pltpu.roll(mt, shift=_CHUNK - 4, axis=1)[:, 0:1])
+    else:
+        off = mt[:, 0:1]
+        mreal = pltpu.roll(mt, shift=_CHUNK - 1, axis=1)[:, 0:1]
+    fbias = lmod * ge
     base = pl.program_id(1) * _CHUNK
     five = jnp.int32(5)
     neg4 = jnp.int32(-4)
@@ -1133,27 +1223,27 @@ def _window_kernel(qc_ref, codes_ref, rmeta_ref, omk_ref, h_ref, e_ref,
         # SSW matrix: +5 iff both real bases and equal, else -4 (N never
         # matches, ssw_cpp.cpp kBaseTranslation + Aligner defaults)
         s = jnp.where((codes == qt) & (qt < 4), five, neg4)
-        live = (t >= off) & (t < m)  # (R, 1): real query row for this row
+        live = (t >= off) & (t < m)  # real query row for this row/half
         s = jnp.where(live, s, zero)  # zero profile: offset + phantom rows
         hp = h_ref[:]
         ep = e_ref[:]
         ev = jnp.maximum(ep - ge, hp - go)
-        diag = jnp.where(lidx >= 1, pltpu.roll(hp, shift=1, axis=1), zero)
+        diag = jnp.where(lmod >= 1, pltpu.roll(hp, shift=1, axis=1), zero)
         tmp = jnp.maximum(jnp.maximum(diag + s, ev), zero)
         # full-width prefix max: each step must mask the cyclic wrap
-        # (lanes < k) to zero — a per-row pad-lane poison does NOT work
-        # here, because the chain itself propagates real values through
-        # the pad region (every lane above rlen is contaminated after
-        # log2(W) steps), unlike the scan kernel whose 64-lane window
-        # stays clear of its >= 64 poisoned pad lanes
+        # (lanes < k past a window boundary) to zero — a per-row pad-lane
+        # poison does NOT work here, because the chain itself propagates
+        # real values through the pad region (every lane above rlen is
+        # contaminated after log2(W) steps), unlike the scan kernel
+        # whose 64-lane window stays clear of its >= 64 poisoned pads
         run = tmp + fbias
         k = 1
-        while k < W:
+        while k < subw:
             run = jnp.maximum(
-                run, jnp.where(lidx >= k,
+                run, jnp.where(lmod >= k,
                                pltpu.roll(run, shift=k, axis=1), zero))
             k *= 2
-        fv = jnp.where(lidx >= 1, pltpu.roll(run, shift=1, axis=1),
+        fv = jnp.where(lmod >= 1, pltpu.roll(run, shift=1, axis=1),
                        neg) - foff
         hn = jnp.maximum(tmp, fv)
         h_ref[:] = hn
@@ -1177,16 +1267,18 @@ def _decode_key(mk):
     return mk >> _KT_BITS, _KT_MASK - (mk & _KT_MASK)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret"))
-def _window_call(codes, rmeta, qcodes, *, m: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("m", "subw", "interpret"))
+def _window_call(codes, rmeta, qcodes, *, m: int, subw: int = 0,
+                 interpret: bool = False):
     """codes uint8[G, R, W]; rmeta int32[G, R, 128] (lanes 0..1 = offset,
-    mreal); qcodes int[NQ, 8, 128] query codes (8x sublane-replicated,
+    mreal of window A; 3..4 = of window B when subw packs two windows
+    per row); qcodes int[NQ, 8, 128] query codes (8x sublane-replicated,
     pad codes < 0) -> stats keys int32[G, R, W] (_decode_key yields the
     per-lane column max + first attaining row)."""
     G, R, W = codes.shape
     nq = qcodes.shape[0]
     kernel = functools.partial(
-        _window_kernel, m=m, nq=nq,
+        _window_kernel, m=m, nq=nq, subw=subw,
         unroll=int(os.environ.get("FASIM_WIN_UNROLL", "1")))
     return pl.pallas_call(
         kernel,
