@@ -64,6 +64,22 @@ def _allgather_bytes(payload: bytes) -> list[bytes]:
     return [gathered[i, :lens[i]].tobytes() for i in range(n)]
 
 
+def check_shard_coverage(expected: int, got, nproc: int) -> None:
+    """Failed-shard detection: every process streams the same input, so
+    process 0 knows the full global work-index set; a host that died
+    mid-scan (or lost its checkpoint spills) leaves holes that would
+    otherwise produce silently incomplete output.  Raises naming the
+    missing shards and their owning process(es) (gidx % nproc)."""
+    missing = sorted(set(range(expected)) - set(got))
+    if missing:
+        owners = sorted({i % nproc for i in missing})
+        raise RuntimeError(
+            f"distributed scan incomplete: {len(missing)}/{expected} work "
+            f"items missing (first: {missing[:8]}), owned by process(es) "
+            f"{owners} — rerun with the same FASIM_CKPT to rescan only "
+            "the missing shards")
+
+
 def scan_distributed(p: Params, engine_factory, batch_pairs: int = 32,
                      host_threads: int = 0, checkpoint_dir: str | None = None,
                      checkpoint_every: int = 64, max_inflight: int = 8):
@@ -93,6 +109,7 @@ def scan_distributed(p: Params, engine_factory, batch_pairs: int = 32,
                     my_hits.update(pickle.load(f))
     done = set(my_hits)
     metas: list[RecordMeta] = []
+    n_work = [0]  # total global work items (known after the stream ends)
 
     def gen():
         gidx = -1
@@ -105,6 +122,7 @@ def scan_distributed(p: Params, engine_factory, batch_pairs: int = 32,
                 if fasta.same_seq(seg):
                     continue
                 gidx += 1
+                n_work[0] = gidx + 1
                 if gidx % nproc != pid or gidx in done:
                     continue
                 yield _Work(len(metas) - 1, start, seg, gidx)
@@ -152,6 +170,7 @@ def scan_distributed(p: Params, engine_factory, batch_pairs: int = 32,
     merged: dict[int, tuple[int, list[Triplex]]] = {}
     for blob in gathered:
         merged.update(pickle.loads(blob))
+    check_shard_coverage(n_work[0], merged.keys(), nproc)
     # final filter + coordinate fixup + `-C` bucket permutation, in
     # global (record, segment) order — identical to finalize_records
     buckets = corenum_buckets(p.corenum)

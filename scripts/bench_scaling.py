@@ -94,11 +94,13 @@ def main() -> int:
     procs = [int(x) for x in next(
         (a.split("=")[1] for a in sys.argv if a.startswith("--procs=")),
         "1,2,4").split(",")]
-    # --full: the 532-record 1.32 Mb input (the 3-record default is too
-    # small to split: each process pads its share to one full batch)
+    # default: 64-record subset (64 segments — enough work items to
+    # shard evenly; the old 3-record default could not split 2 ways
+    # without 2:1 imbalance, which alone caps efficiency at 75%).
+    # --full: the 532-record 1.32 Mb input.
     full = "--full" in sys.argv
     dna, case = (("meg3dna.fa", "meg3_full") if full
-                 else ("meg3sub3.fa", "meg3_sub3"))
+                 else ("meg3sub64.fa", "meg3_sub64"))
     results = {"input": dna}
     with tempfile.TemporaryDirectory() as td:
         shutil.copy(os.path.join(ORACLE, dna), td)

@@ -19,9 +19,10 @@ import numpy as np
 def main() -> int:
     rnd = next((a.split("=")[1] for a in sys.argv
                 if a.startswith("--round=")), "NN")
+    # Mosaic fori_loop supports only unroll=1 or full unroll (=128 steps)
     factors = [int(x) for x in next(
         (a.split("=")[1] for a in sys.argv if a.startswith("--factors=")),
-        "1,2,4").split(",")]
+        "1,128").split(",")]
     from fasim_tpu import rules
     from fasim_tpu.io import fasta
     from fasim_tpu.kernels.tpu import TpuScanEngine

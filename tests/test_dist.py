@@ -56,3 +56,16 @@ def test_sharded_step_matches_golden_and_is_mesh_invariant(batch, shape):
         codes_t, codes_s, eng.matq_thresh, eng.matq_ssw)
     np.testing.assert_array_equal(thresh, np.asarray(t1))
     np.testing.assert_array_equal(colmax, np.asarray(c1))
+
+
+def test_shard_coverage_detection():
+    """Failed-shard detection: holes in the merged work-index set raise,
+    naming the owning process; full coverage passes silently."""
+    from fasim_tpu.dist.runner import check_shard_coverage
+
+    check_shard_coverage(10, range(10), 2)
+    check_shard_coverage(0, [], 4)
+    with pytest.raises(RuntimeError, match=r"2/10.*process\(es\) \[1\]"):
+        check_shard_coverage(10, [0, 2, 3, 4, 6, 7, 8, 9], 2)
+    with pytest.raises(RuntimeError, match="rerun with the same"):
+        check_shard_coverage(5, [], 1)
