@@ -71,8 +71,13 @@ def main() -> int:
     from fasim_tpu.scan.batched import scan_file_stream
 
     _, rna = fasta.read_rna(os.path.join(REPO, rna_path))
+    prev_cwd = os.getcwd()
     with tempfile.TemporaryDirectory() as td:
-        dna = os.path.join(td, "synth.fa")
+        # run from the temp dir with a relative -f1: the reference embeds
+        # the f1 path in output filenames (fileName quirk), so an
+        # absolute path would produce an invalid nested output path
+        os.chdir(td)
+        dna = "synth.fa"
         print(f"generating {mb} Mb synthetic genome ...")
         total = synth_genome(dna, mb, rna)
         out = os.path.join(td, "out")
@@ -103,6 +108,7 @@ def main() -> int:
         dt = time.time() - t0
         nrows = sum(1 for f in os.listdir(out) for _ in open(
             os.path.join(out, f)))
+        os.chdir(prev_cwd)
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     res = {
         "mb": total / 1e6,

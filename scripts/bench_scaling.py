@@ -94,13 +94,18 @@ def main() -> int:
     procs = [int(x) for x in next(
         (a.split("=")[1] for a in sys.argv if a.startswith("--procs=")),
         "1,2,4").split(",")]
-    # default: 64-record subset (64 segments — enough work items to
-    # shard evenly; the old 3-record default could not split 2 ways
-    # without 2:1 imbalance, which alone caps efficiency at 75%).
-    # --full: the 532-record 1.32 Mb input.
+    # default: 16-record subset — enough work items to shard 1/2/4 ways
+    # evenly (the old 3-record default could not split 2 ways without
+    # 2:1 imbalance, which alone caps efficiency at 75%) while a pinned
+    # single XLA-CPU core still finishes a rep in ~2 min on this box.
+    # --sub64 / --full: the 64-record / 532-record inputs.
     full = "--full" in sys.argv
-    dna, case = (("meg3dna.fa", "meg3_full") if full
-                 else ("meg3sub64.fa", "meg3_sub64"))
+    if full:
+        dna, case = "meg3dna.fa", "meg3_full"
+    elif "--sub64" in sys.argv:
+        dna, case = "meg3sub64.fa", "meg3_sub64"
+    else:
+        dna, case = "meg3sub16.fa", "meg3_sub16"
     results = {"input": dna}
     with tempfile.TemporaryDirectory() as td:
         shutil.copy(os.path.join(ORACLE, dna), td)
