@@ -892,6 +892,12 @@ def _kernel2_call(bases, bases_rev, lut6, istr, qprops, aux16, *, m16: int,
             pltpu.VMEM((T, Mp), dt),
             pltpu.VMEM((T, Mp), dt),
         ],
+        # long queries (NEAT1: Mp ~22.9k lanes -> ~22 MB of H/E state +
+        # temporaries) exceed Mosaic's default 16 MB scoped-vmem budget;
+        # v5e has 128 MB of VMEM, so raise the cap with the state size
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(112 * 2 ** 20,
+                                 max(32 * 2 ** 20, 24 * T * Mp))),
         interpret=interpret,
     )(bases, bases_rev, lut6, istr, qprops, aux16)
 
