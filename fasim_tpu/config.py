@@ -64,8 +64,11 @@ class TpuConfig:
     # Print the per-stage wall-clock split on stderr after the run.
     profile: bool = False
     # Max device batches in flight (bounds host+device memory at genome
-    # scale); 0 = dispatch everything up front.
-    max_inflight: int = 8
+    # scale); 0 = dispatch everything up front.  Measured on MEG3-full:
+    # 2 -> 22.7 s, 4 -> 24.0 s, 8 -> 27.2 s, 16 -> 29.1 s warm — beyond
+    # ~4 the extra stage threads contend with the native finalize pool
+    # for host cores without feeding the device any faster.
+    max_inflight: int = 4
     # Reproduce the reference's stdout progress lines (lncName,
     # "dnaPos = N" per segment, the print_cluster level-quirk lines and
     # "Running time is ..."; Fasim-LongTarget.cpp:192,398,698,170).
