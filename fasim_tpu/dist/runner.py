@@ -32,7 +32,7 @@ from .. import rules
 from ..config import Params
 from ..io import fasta
 from ..scan.batched import (RecordMeta, _Work, corenum_buckets,
-                            iter_scan_work)
+                            finalize_record_into, iter_scan_work)
 from ..scan.pipeline import Triplex
 
 
@@ -104,9 +104,19 @@ def scan_distributed(p: Params, engine_factory, batch_pairs: int = 32,
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
         for name in sorted(os.listdir(checkpoint_dir)):
-            if name.startswith(f"host{pid}-") and name.endswith(".pkl"):
+            # match only this format's spill prefix; older formats (plain
+            # hit lists) would silently mis-unpack at the merge
+            if name.startswith(f"host{pid}-spill") and name.endswith(".pkl"):
                 with open(os.path.join(checkpoint_dir, name), "rb") as f:
-                    my_hits.update(pickle.load(f))
+                    loaded = pickle.load(f)
+                for gidx, payload in loaded.items():
+                    if (not isinstance(payload, tuple) or len(payload) != 2
+                            or not isinstance(payload[0], int)):
+                        raise RuntimeError(
+                            f"stale checkpoint format in {name}: expected "
+                            "{gidx: (record_idx, hits)} spills — clear "
+                            "FASIM_CKPT and rescan")
+                    my_hits[gidx] = payload
     done = set(my_hits)
     metas: list[RecordMeta] = []
     n_work = [0]  # total global work items (known after the stream ends)
@@ -172,26 +182,15 @@ def scan_distributed(p: Params, engine_factory, batch_pairs: int = 32,
         merged.update(pickle.loads(blob))
     check_shard_coverage(n_work[0], merged.keys(), nproc)
     # final filter + coordinate fixup + `-C` bucket permutation, in
-    # global (record, segment) order — identical to finalize_records
+    # global (record, segment) order — the shared helper keeps this
+    # bit-identical to the single-host drivers by construction
     buckets = corenum_buckets(p.corenum)
-    f32 = np.float32
     per_record: dict[int, list[Triplex]] = {}
     for i in sorted(merged):
         ri, hits = merged[i]
         per_record.setdefault(ri, []).extend(hits)
     for ri in sorted(per_record):
-        meta = metas[ri]
-        lst = [t for t in per_record[ri]
-               if (t.score >= f32(p.score_min)
-                   and t.identity >= f32(p.min_identity)
-                   and t.tri_score >= f32(p.min_stability)
-                   and t.nt >= p.c_length)]
-        for t in lst:
-            if t.genomestart == 0:
-                t.chr = meta.chro_tag
-                t.genomestart = t.starj + meta.start_genome - 1
-                t.genomeend = t.endj + meta.start_genome - 1
-        buckets[ri % len(buckets)].extend(lst)
+        finalize_record_into(buckets, p, ri, metas[ri], per_record[ri])
     return metas, lnc_name, rna, [t for b in buckets for t in b]
 
 
@@ -238,7 +237,7 @@ def main(argv=None) -> int:
             p, engine_factory, batch_pairs=tpu.segments_per_batch,
             host_threads=host_threads,
             checkpoint_dir=(os.environ.get("FASIM_CKPT") or None)
-            if reps == 1 else None)
+            if reps == 1 else None, max_inflight=tpu.max_inflight)
         if reps > 1:
             # every process reports: the harness attributes efficiency
             # loss to load imbalance (local spread) vs gather overhead

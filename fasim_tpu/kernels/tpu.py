@@ -1041,9 +1041,9 @@ def _window_specs_call(segs, lengths, lut_s, is_tr, qcodes, seg_idx,
     spec arrays int32[rows].  Window lane l reads the transformed segment
     at position base + dirn*l (dirn -1 expresses the reverse pass's
     reversed window read); rlens gates pad lanes to code 4; `w` is the
-    lane width class (every rlen must be < w — the kernel's pad-lane
-    F poison needs the top lane free; the caller partitions rows by
-    width so narrow windows pay for 128 lanes, not 256).  Output
+    lane width class (rlen <= w; the kernel uses masked gap prefixes,
+    not pad-lane poison, so rlen == w is safe — the caller partitions
+    rows by width so narrow windows pay for 128 lanes, not 256).  Output
     int32[rows, 3] = (best, end_col, end_row) with terminate semantics —
     see window_stats_to_ends for the host-side mirror of the reduction.
     """
@@ -1271,6 +1271,152 @@ def _window_kernel(qc_ref, codes_ref, rmeta_ref, omk_ref, h_ref, e_ref,
 def _decode_key(mk):
     """Stats key -> (column max, first attaining row); works on jnp/np."""
     return mk >> _KT_BITS, _KT_MASK - (mk & _KT_MASK)
+
+
+# --- candidate-window pass, v2: scan-orientation kernel ---------------------
+#
+# The v1 window kernel (below) transposes the DP: windows on lanes, query
+# streamed on the grid.  Measured on hardware it runs ~1 vector
+# instruction/cycle like the scan kernel but needs ~41 ops per cell —
+# per-row (R, 1) mask ops, a masked full-width gap prefix (3 ops/step),
+# and select-by-index emission all on the critical per-query-row path.
+#
+# The v2 kernel puts windows on SUBLANES and the query on LANES — the
+# scan kernel's own layout — and streams the (<= 256) window columns
+# through the inner loop instead of the (~1.6-23k) query rows:
+#
+#   * all per-row masks (off/mreal phantom semantics) become (R, Mp)
+#     registers built ONCE per grid step, not per inner iteration;
+#   * the gap prefix along lanes is the query-direction gap, which gets
+#     the scan kernel's unmasked sentinel form (2 ops/step): window cells
+#     are bounded by 5*wcols <= 980, so an F contribution can beat
+#     tmp >= 0 only within (980-16)/4 + 1 = 242 lanes — a 256-lane
+#     windowed prefix is exact, and per-class tighter (5*64 = 320 ->
+#     77 -> a 128-lane window for the dominant narrow class);
+#   * the per-window-column (column max, first attaining query row)
+#     stats drop out of one lane reduce of the same packed key, so the
+#     host-side ends reduction (window_stats_to_ends) is unchanged.
+#
+# Exactness: the DP matrix is orientation-independent (affine-gap SW with
+# symmetric go/ge); the stats key reduce picks (max H, lowest query
+# index) exactly like v1's per-lane running key.  Dead lanes (>= mreal)
+# get key = (H << 20) - 2^30 < 0 because H <= 980 < 1024, so they can
+# never beat a live lane's key >= 0.
+#
+# Emulates the per-candidate forward/reverse striped passes
+# (sswNew.cpp:1446-1547); see scan/candidates.py for the offs/mreal
+# contract.
+
+# class width -> (inner-loop column count, gap-prefix window): the prefix
+# window must cover (5*wcols - GAP_OPEN)/GAP_EXTEND + 1 lanes
+_WCLASSES = {64: (64, 128), 128: (128, 256), _WWIN: (_WWIN, 256)}
+
+
+def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,
+                  *, m: int, sstart: int, fwin: int, wcols: int,
+                  unroll: int = 1):
+    """One (row-batch g, 128-column chunk) grid step of the v2 window
+    pass.  qrow: int32[1, Mp] query codes (pad lanes 127); codes block
+    (1, R, 128) uint8 window columns; rmeta block (1, R, 128) with lane
+    0 = off (first real query lane; lanes below have zero profile) and
+    lane 1 = mreal (exclusive stats lane bound = m + phantom rows of the
+    emulated byte/word pass).  Emits int32 stats keys per (row, window
+    column); _decode_key yields (column max, first attaining query row).
+    """
+    R, Mp = h_ref.shape
+    go = jnp.int32(GAP_OPEN)
+    ge = jnp.int32(GAP_EXTEND)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        e_ref[:] = jnp.zeros_like(e_ref)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    q = qrow_ref[0:1, :]
+    mt = rmeta_ref[0]
+    off = mt[:, 0:1]
+    mreal = pltpu.roll(mt, shift=_CHUNK - 1, axis=1)[:, 0:1]
+    # per-row profile/stats masks, hoisted out of the column loop
+    live = (iota >= off) & (iota < m)
+    hi = jnp.where(live & (q < 4), jnp.int32(5),
+                   jnp.where(live, jnp.int32(-4), 0))
+    lo = jnp.where(live, jnp.int32(-4), 0)
+    kmask = jnp.where(iota < mreal, _KT_MASK - iota, _NEG)
+    fbias = jnp.where(iota < sstart, iota * ge, _NEG)
+    foff = go + (iota - 1) * ge
+    idx1 = iota >= 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _CHUNK), 1)
+
+    def col(j, carry):
+        chunk, cmacc = carry
+        code = chunk[:, 0:1]
+        s = jnp.where(code == q, hi, lo)
+        hp = h_ref[:]
+        ep = e_ref[:]
+        ev = jnp.maximum(ep - ge, hp - go)
+        diag = jnp.where(idx1, pltpu.roll(hp, shift=1, axis=1), 0)
+        tmp = jnp.maximum(jnp.maximum(diag + s, ev), 0)
+        run = tmp + fbias
+        k = 1
+        while k < fwin:
+            run = jnp.maximum(run, pltpu.roll(run, shift=k, axis=1))
+            k *= 2
+        fv = pltpu.roll(run, shift=1, axis=1) - foff
+        hn = jnp.maximum(tmp, fv)
+        h_ref[:] = hn
+        e_ref[:] = ev
+        key = jnp.max((hn << _KT_BITS) + kmask, axis=1, keepdims=True)
+        cmacc = jnp.where(lane == j, key, cmacc)
+        chunk = pltpu.roll(chunk, shift=_CHUNK - 1, axis=1)
+        return chunk, cmacc
+
+    ck = codes_ref[0].astype(jnp.int32)
+    cmacc0 = jnp.zeros((R, _CHUNK), jnp.int32)
+    _, cmacc = jax.lax.fori_loop(0, min(wcols, _CHUNK), col, (ck, cmacc0),
+                                 unroll=unroll)
+    out_ref[0] = cmacc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "sstart", "fwin", "wcols",
+                                    "interpret"))
+def _wscan_call(codes, rmeta, qrow, *, m: int, sstart: int, fwin: int,
+                wcols: int, interpret: bool = False):
+    """codes uint8[G, R, Wp]; rmeta int32[G, R, 128]; qrow int32[1, Mp]
+    -> stats keys int32[G, R, Wp] (columns >= wcols stay 0: decoded as
+    colmax 0, masked off by the host ends reduction's rlens gate)."""
+    G, R, Wp = codes.shape
+    Mp = qrow.shape[1]
+    nchunk = max(1, wcols // _CHUNK)
+    kernel = functools.partial(
+        _wscan_kernel, m=m, sstart=sstart, fwin=fwin, wcols=wcols,
+        unroll=int(os.environ.get("FASIM_WIN_UNROLL", "1")))
+    return pl.pallas_call(
+        kernel,
+        grid=(G, nchunk),
+        in_specs=[
+            pl.BlockSpec((1, Mp), lambda g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, _CHUNK), lambda g, c: (g, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, _CHUNK), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, _CHUNK), lambda g, c: (g, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, R, Wp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((R, Mp), jnp.int32),
+            pltpu.VMEM((R, Mp), jnp.int32),
+        ],
+        # ~9 live (R, Mp) int32 arrays (H/E scratch + hoisted masks +
+        # loop temporaries); raise scoped VMEM with the state size
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(112 * 2 ** 20,
+                                 max(32 * 2 ** 20, 40 * R * Mp))),
+        interpret=interpret,
+    )(qrow, codes, rmeta)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "subw", "interpret"))

@@ -20,9 +20,11 @@
 //
 // Built into _fasim_native.so together with the other native sources.
 
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <string>
 #include <vector>
 
@@ -412,9 +414,30 @@ long lt_finalize_pair(const int32_t* q_idx, long M, const int32_t* r_idx,
     const long cig_cap = M + N + 8;
     std::vector<int32_t> cig_len(cig_cap);
     std::vector<char> cig_op(cig_cap);
+    // Adjacent peaks routinely converge to the *same* winning alignment
+    // tuple; banded() and convert() are pure functions of that tuple plus
+    // the pair-constant sequences, so run them once per distinct tuple
+    // and replay the cached (0- or 1-element) conversion result for each
+    // duplicate IN ORIGINAL ORDER.  The downstream dedup chain
+    // (lt_fastsim_dedup, std::unique keeps the first of a run —
+    // fastsim.h:273-283) then sees an identical candidate list, so the
+    // output is provably unchanged while the expensive traceback/convert
+    // work runs once per distinct window.
+    std::map<std::array<int32_t, 5>, std::pair<size_t, size_t>> seen;
     for (long t = 0; t < nw; t++) {
         int32_t meta[5];
         std::memcpy(meta, wins + t * 5, sizeof(meta));
+        const std::array<int32_t, 5> key =
+            {meta[0], meta[1], meta[2], meta[3], meta[4]};
+        const auto it = seen.find(key);
+        if (it != seen.end()) {
+            for (size_t z = it->second.first; z < it->second.second; z++) {
+                Cand copy = cands[z];  // copy first: push_back may realloc
+                cands.push_back(std::move(copy));
+            }
+            continue;
+        }
+        const size_t before = cands.size();
         const long rb = meta[1], re = meta[2], qb = meta[3], qe = meta[4];
         const long ref_len = re - rb + 1, read_len = qe - qb + 1;
         long bw = ref_len - read_len;
@@ -429,6 +452,7 @@ long lt_finalize_pair(const int32_t* q_idx, long M, const int32_t* r_idx,
         convert(meta, cig_len.data(), cig_op.data(), ncig, rna, s2, src, N,
                 dna_start_pos, strand, para, nt_min, nt_max, penalty_t,
                 penalty_c, cands);
+        seen.emplace(key, std::make_pair(before, cands.size()));
     }
     long soff = 0;
     return finish_pair(cands, 0, nt_min, min_identity, min_stability, cap,

@@ -321,25 +321,34 @@ def corenum_buckets(n: int) -> list[list[Triplex]]:
     return [[] for _ in range(max(1, n))]
 
 
+def finalize_record_into(buckets: list[list[Triplex]], p: Params, ri: int,
+                         rec, lst: list[Triplex]) -> None:
+    """Final per-record filter (Fasim-LongTarget.cpp:589-597) +
+    genome-coordinate fixup (main:141-149) + `-C` bucket append for one
+    record's hits.  The single implementation shared by the batched,
+    streaming and distributed drivers (their outputs must stay
+    bit-identical); rec needs only .chro_tag / .start_genome."""
+    f32 = np.float32
+    lst = [t for t in lst
+           if (t.score >= f32(p.score_min)
+               and t.identity >= f32(p.min_identity)
+               and t.tri_score >= f32(p.min_stability)
+               and t.nt >= p.c_length)]
+    for t in lst:
+        if t.genomestart == 0:
+            t.chr = rec.chro_tag
+            t.genomestart = t.starj + rec.start_genome - 1
+            t.genomeend = t.endj + rec.start_genome - 1
+    buckets[ri % len(buckets)].extend(lst)
+
+
 def finalize_records(p: Params, records, per_record: list[list[Triplex]]
                      ) -> list[Triplex]:
-    """Final filter (Fasim-LongTarget.cpp:589-597) then genome-coordinate
-    fixup (main:141-149), concatenated in record order — through the
-    `-C` bucket permutation when corenum >= 2."""
+    """Final filter then genome-coordinate fixup, concatenated in record
+    order — through the `-C` bucket permutation when corenum >= 2."""
     buckets = corenum_buckets(p.corenum)
-    f32 = np.float32
     for i, (rec, lst) in enumerate(zip(records, per_record)):
-        lst = [t for t in lst
-               if (t.score >= f32(p.score_min)
-                   and t.identity >= f32(p.min_identity)
-                   and t.tri_score >= f32(p.min_stability)
-                   and t.nt >= p.c_length)]
-        for t in lst:
-            if t.genomestart == 0:
-                t.chr = rec.chro_tag
-                t.genomestart = t.starj + rec.start_genome - 1
-                t.genomeend = t.endj + rec.start_genome - 1
-        buckets[i % len(buckets)].extend(lst)
+        finalize_record_into(buckets, p, i, rec, lst)
     return [t for b in buckets for t in b]
 
 
@@ -388,21 +397,9 @@ def scan_file_stream(p: Params, engine, batch_pairs: int = 64,
     scans = rules.scan_list(p.rule, p.strand)
     n_pad = (p.cut_length + 127) // 128 * 128
     buckets = corenum_buckets(p.corenum)
-    f32 = np.float32
 
     def flush(ri: int, lst: list[Triplex]) -> None:
-        meta = metas[ri]
-        lst = [t for t in lst
-               if (t.score >= f32(p.score_min)
-                   and t.identity >= f32(p.min_identity)
-                   and t.tri_score >= f32(p.min_stability)
-                   and t.nt >= p.c_length)]
-        for t in lst:
-            if t.genomestart == 0:
-                t.chr = meta.chro_tag
-                t.genomestart = t.starj + meta.start_genome - 1
-                t.genomeend = t.endj + meta.start_genome - 1
-        buckets[ri % len(buckets)].extend(lst)
+        finalize_record_into(buckets, p, ri, metas[ri], lst)
 
     cur_ri = -1
     cur: list[Triplex] = []

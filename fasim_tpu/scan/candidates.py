@@ -299,27 +299,31 @@ def candidate_stage_batch(p: Params, rna: np.ndarray, q_idx: np.ndarray,
     c_cut = cutlens[np.arange(P), chosen]
     winner = c_best != 0  # fastsim.h:250 sw_score != 0 gate
 
-    # 3. reverse pass for winners only
+    # 3. reverse pass for winners only.  Adjacent peaks that converged to
+    # the same winning window yield bit-identical spec rows (the pass is
+    # a pure function of the row), so dispatch each distinct row once and
+    # scatter the result back — on MEG3-full this cuts the rev rows ~2x.
     wi = np.flatnonzero(winner)
     meta5 = np.zeros((P, 5), np.int32)
     if len(wi):
         lanes = np.where(c_best[wi] >= BYTE_SAT, 8, 16)
-        spec = {
-            "seg_idx": seg_i[wi].astype(np.int32),
-            "scan_idx": scan_i[wi].astype(np.int32),
+        smat = np.column_stack([
+            seg_i[wi], scan_i[wi],
             # reverse read of the chosen window: lane l = window[ecol - l]
-            "base": (pos[wi] - c_cut[wi] + 1 + c_ecol[wi]).astype(np.int32),
-            "dirn": np.full(len(wi), -1, np.int32),
-            "rlens": (c_ecol[wi] + 1).astype(np.int32),
-            "offs": (m - 1 - c_erow[wi]).astype(np.int32),
-            "terms": c_best[wi].astype(np.int32),
-            "mreals": (m + (-(c_erow[wi] + 1)) % lanes).astype(np.int32),
-        }
+            pos[wi] - c_cut[wi] + 1 + c_ecol[wi],
+            np.full(len(wi), -1), c_ecol[wi] + 1,
+            m - 1 - c_erow[wi], c_best[wi],
+            m + (-(c_erow[wi] + 1)) % lanes]).astype(np.int32)
+        uniq, inv = np.unique(smat, axis=0, return_inverse=True)
+        spec = dict(zip(
+            ("seg_idx", "scan_idx", "base", "dirn", "rlens", "offs",
+             "terms", "mreals"),
+            np.ascontiguousarray(uniq.T)))
         with STAGES.timer("cand_rev_dev"):
-            out_r = eng.window_pass_specs(segs, lengths, spec, rev=True)
+            out_r = eng.window_pass_specs(segs, lengths, spec, rev=True)[inv]
         sw_final = np.minimum(out_r[:, 0], c_best[wi])  # sswNew.cpp:1518
         ref_begin = c_ecol[wi] - out_r[:, 1]
-        query_begin = c_erow[wi] - (out_r[:, 2] - spec["offs"])
+        query_begin = c_erow[wi] - (out_r[:, 2] - smat[:, 5])
         off0 = pos[wi] - c_cut[wi] + 1  # window -> segment coords
         meta5[wi, 0] = sw_final
         meta5[wi, 1] = (ref_begin + off0).astype(np.int32)
