@@ -68,28 +68,39 @@ def bench_kernel(eng, rna, seg):
 
 
 def bench_window(eng, rna):
-    from concurrent.futures import ThreadPoolExecutor
+    """Pure device rate of the window kernel (inputs resident, sync via
+    a 1-element fetch).  The old version re-uploaded ~3 MB per call and
+    measured the host link, not the kernel."""
+    import jax
+
+    from fasim_tpu.kernels import tpu as ktpu
 
     rng = np.random.default_rng(0)
     rows, w = 4096, 197
-    codes = rng.integers(0, 5, (rows, 256)).astype(np.uint8)
-    codes[:, w:] = 4
-    args = (codes, np.zeros(rows, np.int32), np.full(rows, -1, np.int32),
-            np.full(rows, w, np.int32),
-            np.full(rows, (len(rna) + 15) // 16 * 16, np.int32))
-    eng.window_pass(*args, rev=False)  # compile
-    streams, reps = 4, 2
+    m = len(rna)
+    wcols, fwin = ktpu._WCLASSES[ktpu._WWIN]
+    R = eng._win_R[fwin]
+    G = rows // R
+    codes = rng.integers(0, 5, (G, R, ktpu._WWIN)).astype(np.uint8)
+    codes[:, :, w:] = 4
+    rmeta = np.zeros((G, R, 128), np.int32)
+    rmeta[:, :, 1] = (m + 15) // 16 * 16
+    cd = jax.device_put(codes)
+    md = jax.device_put(rmeta)
+    qrow = eng._qwin2[(False, fwin)]
 
-    def one(_):
-        for _ in range(reps):
-            out = eng.window_pass(*args, rev=False)
-            assert out.shape == (rows, 3)
+    def run():
+        out = ktpu._wscan_call(cd, md, qrow, m=m, sstart=eng.win_sstart,
+                               fwin=fwin, wcols=wcols)
+        np.asarray(out[0, 0, :1])
 
+    run()
+    reps = 5
     t0 = time.time()
-    with ThreadPoolExecutor(max_workers=streams) as ex:
-        list(ex.map(one, range(streams)))
-    dt = time.time() - t0
-    return streams * reps * rows * w * len(rna) / dt / 1e9
+    for _ in range(reps):
+        run()
+    dt = (time.time() - t0) / reps
+    return rows * w * m / dt / 1e9
 
 
 def run_e2e_meg3(p, engines, tpu):

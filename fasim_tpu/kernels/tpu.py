@@ -455,10 +455,33 @@ class TpuScanEngine:
             q = q.reshape(-1, 1, _CHUNK)
             return self._put(np.broadcast_to(q, (q.shape[0], 8, _CHUNK)))
 
-        self.qwin_fwd = qcodes(rna)
-        self.qwin_rev = qcodes(rna[::-1])
         self.m = m
-        self.win_rows = 512
+        self.win_v2 = os.environ.get("FASIM_WIN_V1", "0") != "1"
+        if not self.win_v2:
+            self.qwin_fwd = qcodes(rna)
+            self.qwin_rev = qcodes(rna[::-1])
+            self.win_rows = 512
+            return
+        # v2 scan-orientation kernel: query on lanes.  sstart = m + 16
+        # covers every phantom bound (mreal <= m + 15); the sentinel pad
+        # past sstart must cover the gap-prefix window (module comment
+        # above _wscan_kernel).  One query row per (direction, fwin);
+        # the row count per kernel instance scales down for long queries
+        # so ~10 live (R, Mp) int32 arrays stay inside VMEM.
+        self.win_sstart = m + 16
+        self._qwin2 = {}
+        self._win_R = {}
+        for fwin in (64, 128, 256):
+            Mp = _round_up(self.win_sstart + fwin, 128)
+            r = 256
+            while r > 8 and 40 * r * Mp > 112 * 2 ** 20:
+                r //= 2
+            self._win_R[fwin] = r
+            for rev in (False, True):
+                arr = rna[::-1] if rev else rna
+                q = np.full((1, Mp), 127, np.int32)
+                q[0, :m] = SSW_ENC[arr]
+                self._qwin2[(bool(rev), fwin)] = self._put(q)
         # (the window DP stays int32: v5e Mosaic has no packed int16
         # vector ALU, and the stats key packing needs 32-bit range)
 
@@ -474,8 +497,29 @@ class TpuScanEngine:
         rows, W = codes.shape
         if rows == 0:
             return np.zeros((0, 3), np.int32)
-        qc = self.qwin_rev if rev else self.qwin_fwd
         m = self.m
+        if self.win_v2:
+            rlmax = int(np.max(rlens, initial=0))
+            wcols = next((w for w in sorted(_WCLASSES) if rlmax <= w),
+                         _WWIN)
+            fwin = _WCLASSES[wcols][1]
+            Wp = max(_CHUNK, wcols)
+            R = self._win_R[fwin]
+            rp = _round_up(rows, R)
+            cp = np.full((rp, Wp), 4, np.uint8)
+            cp[:rows, :min(W, Wp)] = codes[:, :Wp]
+            mt = np.zeros((rp, 128), np.int32)
+            mt[:rows, 0] = offs
+            mt[:rows, 1] = mreals
+            mk = np.asarray(_wscan_call(
+                self._put(cp.reshape(rp // R, R, Wp)),
+                self._put(mt.reshape(rp // R, R, 128)),
+                self._qwin2[(bool(rev), fwin)], m=m,
+                sstart=self.win_sstart, fwin=fwin, wcols=wcols,
+                interpret=self.interpret)).reshape(rp, Wp)[:rows]
+            mx, mrow = _decode_key(mk)
+            return window_stats_to_ends(mx, mrow, terms, rlens, m)
+        qc = self.qwin_rev if rev else self.qwin_fwd
         Wp = _round_up(W, 128)
         R = self.win_rows
         g8 = R * 8
@@ -528,7 +572,8 @@ class TpuScanEngine:
     # before any result is forced, so the link latency is paid once per
     # call, not per part.  Bucket sizes are SPEC entries (the packed
     # class fits 2 per kernel row).
-    WIN_BUCKETS = {64: (4096, 32768), 128: (4096, 32768),
+    WIN_BUCKETS = {48: (4096, 32768), 64: (4096, 32768),
+                   96: (4096, 32768), 128: (4096, 32768),
                    _WWIN: (2048, 16384)}
     _SPEC_KEYS = ("seg_idx", "scan_idx", "base", "dirn", "rlens", "offs",
                   "terms", "mreals")
@@ -541,18 +586,35 @@ class TpuScanEngine:
         rows = len(spec["seg_idx"])
         if rows == 0:
             return np.zeros((0, 3), np.int32)
-        qc = self.qwin_rev if rev else self.qwin_fwd
+        v2 = self.win_v2
+        if not v2:
+            qc = self.qwin_rev if rev else self.qwin_fwd
         lut_s, _, is_tr = self._scan_luts
         segs_d = self._put(segs)
         lens_d = self._put(np.asarray(lengths, np.int32))
         rl = spec["rlens"]
-        klass = np.where(rl <= 64, 64, np.where(rl <= 128, 128, _WWIN))
+        if v2:
+            widths = sorted(_WCLASSES)
+            klass = np.full(len(rl), _WWIN)
+            for w in reversed(widths):
+                klass = np.where(rl <= w, w, klass)
+        else:
+            widths = (64, 128, _WWIN)
+            klass = np.where(rl <= 64, 64, np.where(rl <= 128, 128, _WWIN))
         pending = []  # (dest row indices, device array, take)
-        for w in (64, 128, _WWIN):
+        for w in widths:
             sel = np.flatnonzero(klass == w)
             if not len(sel):
                 continue
-            ladder = self.WIN_BUCKETS[w]
+            if v2:
+                # fixed-size chunked dispatch: the Mosaic kernel and the
+                # XLA wrapper both compile once per class, and padding
+                # waste is bounded by one chunk per class (the bucket
+                # ladder padded a 20k-row class to 32768 rows)
+                bsz = self.WIN_BUCKETS[w][0]
+                ladder = (bsz,)
+            else:
+                ladder = self.WIN_BUCKETS[w]
             lo = 0
             while lo < len(sel):
                 n = len(sel) - lo
@@ -568,7 +630,17 @@ class TpuScanEngine:
                     if k == "dirn":
                         a[take:] = 1
                     part[k] = self._put(a)
-                if w == 64:
+                if v2:
+                    wcols, fwin = _WCLASSES[w]
+                    dev = _wspecs_call(
+                        segs_d, lens_d, lut_s, is_tr,
+                        self._qwin2[(bool(rev), fwin)],
+                        part["seg_idx"], part["scan_idx"], part["base"],
+                        part["dirn"], part["rlens"], part["offs"],
+                        part["terms"], part["mreals"], m=self.m,
+                        sstart=self.win_sstart, fwin=fwin, wcols=wcols,
+                        R=self._win_R[fwin], interpret=self.interpret)
+                elif w == 64:
                     dev = _window_specs_call2(
                         segs_d, lens_d, lut_s, is_tr, qc,
                         part["seg_idx"], part["scan_idx"], part["base"],
@@ -1308,8 +1380,17 @@ def _decode_key(mk):
 # contract.
 
 # class width -> (inner-loop column count, gap-prefix window): the prefix
-# window must cover (5*wcols - GAP_OPEN)/GAP_EXTEND + 1 lanes
-_WCLASSES = {64: (64, 128), 128: (128, 256), _WWIN: (_WWIN, 256)}
+# window must cover (5*wcols - GAP_OPEN)/GAP_EXTEND + 1 lanes (a cell is
+# bounded by 5*wcols, so narrow classes also get a shallower prefix and a
+# smaller sentinel pad).  Finer classes cut padded inner-loop columns:
+# the Iden-sweep's later rounds are <= 41 wide and round 0 is 46-70, so
+# 48/64/96 splits the hot range instead of padding everything to 64/128.
+_WCLASSES = {48: (48, 64), 64: (64, 128), 96: (96, 128),
+             128: (128, 256), _WWIN: (_WWIN, 256)}
+
+# row-batches (of R rows) per kernel call: one fixed Mosaic program per
+# class; bigger dispatches loop over it (see _wspecs_call)
+_WCG = 16
 
 
 def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,
@@ -1417,6 +1498,53 @@ def _wscan_call(codes, rmeta, qrow, *, m: int, sstart: int, fwin: int,
                                  max(32 * 2 ** 20, 40 * R * Mp))),
         interpret=interpret,
     )(qrow, codes, rmeta)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "sstart", "fwin", "wcols", "R",
+                                    "interpret"))
+def _wspecs_call(segs, lengths, lut_s, is_tr, qrow, seg_idx, scan_idx,
+                 base, dirn, rlens, offs, terms, mreals, *, m: int,
+                 sstart: int, fwin: int, wcols: int, R: int,
+                 interpret: bool = False):
+    """Device-side window build + v2 pass + ends reduction in one
+    program (the v2 analogue of _window_specs_call; the spec contract
+    and output are identical — int32[rows, 3] (best, end_col,
+    end_row))."""
+    S, N = segs.shape
+    rows = seg_idx.shape[0]
+    Wp = max(_CHUNK, wcols)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    ridx = jnp.where(pos[None, :] < lengths[:, None],
+                     lengths[:, None] - 1 - pos[None, :], pos[None, :])
+    segs_rev = jnp.take_along_axis(segs, ridx, axis=1)
+    both = jnp.stack([segs, segs_rev]).reshape(-1)  # (2*S*N,)
+    li = jnp.arange(Wp, dtype=jnp.int32)[None, :]
+    p = jnp.clip(base[:, None] + dirn[:, None] * li, 0, N - 1)
+    segsel = jnp.where(is_tr[scan_idx], 1, 0).astype(jnp.int32)
+    byte = both[(segsel[:, None] * S + seg_idx[:, None]) * N + p]
+    code = lut_s[scan_idx[:, None], byte.astype(jnp.int32)]
+    code = jnp.where(li < rlens[:, None], code.astype(jnp.int32),
+                     4).astype(jnp.uint8)
+    rmeta = jnp.zeros((rows, 128), jnp.int32)
+    rmeta = rmeta.at[:, 0].set(offs).at[:, 1].set(mreals)
+    # fixed kernel-call shape (<= _WCG row-batches per call): larger
+    # buckets loop over the same pallas_call signature, so the Mosaic
+    # program (and its ~2 min remote compile) is shared across the whole
+    # bucket ladder — only the cheap XLA wrapper compiles per bucket
+    G_all = rows // R
+    CG = min(_WCG, G_all)
+    step = CG * R
+    parts = []
+    for lo in range(0, rows, step):
+        parts.append(_wscan_call(
+            code[lo:lo + step].reshape(CG, R, Wp),
+            rmeta[lo:lo + step].reshape(CG, R, 128),
+            qrow, m=m, sstart=sstart, fwin=fwin, wcols=wcols,
+            interpret=interpret))
+    mk = jnp.concatenate(parts, axis=0)
+    mx, mrow = _decode_key(mk.reshape(rows, Wp))
+    return _ends_from_stats(mx, mrow, terms, rlens, m)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "subw", "interpret"))

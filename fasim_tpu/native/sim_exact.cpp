@@ -33,6 +33,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -75,6 +76,14 @@ struct Engine {
     std::vector<long> HH, WW, II, JJ, XX, YY;  // length M+1
     Node list[KMAX];
     long nnode = 0;
+    // (si, sj) -> list index.  The add_node threshold quirk (c 10x-scaled
+    // vs raw min_score, sim.h:562) makes the call stream dense (~10% of
+    // all cells), and the reference's linear list scan is ~45% of the
+    // forward-scan wall; the map makes the common resident-start hit O(1)
+    // with semantics unchanged.
+    std::unordered_map<long, long> node_idx;
+
+    long start_key(long si, long sj) const { return si * (N + 2) + sj; }
     // edit script state (diff's sapp/last protocol, sim.h:177-196)
     std::vector<long> script;
     long last = 0;
@@ -90,19 +99,19 @@ struct Engine {
 
     // sim.h:99-148.  Always returns 1 (feeds the re-add threshold quirk).
     long add_node(long c, long ci, long cj, long i, long j) {
-        for (long d = 0; d < nnode; d++) {
-            if (list[d].si == ci && list[d].sj == cj) {
-                if (list[d].score < c) {
-                    list[d].score = c;
-                    list[d].ei = i;
-                    list[d].ej = j;
-                }
-                if (list[d].top > i) list[d].top = i;
-                if (list[d].bot < i) list[d].bot = i;
-                if (list[d].left > j) list[d].left = j;
-                if (list[d].right < j) list[d].right = j;
-                return 1;
+        const auto it = node_idx.find(start_key(ci, cj));
+        if (it != node_idx.end()) {
+            Node& nd = list[it->second];
+            if (nd.score < c) {
+                nd.score = c;
+                nd.ei = i;
+                nd.ej = j;
             }
+            if (nd.top > i) nd.top = i;
+            if (nd.bot < i) nd.bot = i;
+            if (nd.left > j) nd.left = j;
+            if (nd.right < j) nd.right = j;
+            return 1;
         }
         long slot;
         if (nnode == KMAX) {
@@ -111,10 +120,12 @@ struct Engine {
             for (long d = 1; d < nnode; d++)
                 if (list[d].score < list[low].score) low = d;
             slot = low;
+            node_idx.erase(start_key(list[low].si, list[low].sj));
         } else {
             slot = nnode++;
         }
         list[slot] = Node{c, ci, cj, i, j, i, i, j, j};
+        node_idx.emplace(start_key(ci, cj), slot);
         return 1;
     }
 
@@ -353,7 +364,8 @@ bool clears_all(const Node* list, long nnode, long m1, long mm, long n1,
 
 void run_sim(Engine& E, const std::string& src, long dna_start_pos,
              long strand, long para, long nt_min, long nt_max,
-             long penalty_t, long penalty_c, std::vector<Emit>& out) {
+             long penalty_t, long penalty_c, std::vector<Emit>& out,
+             const int32_t* cells = nullptr, long ncells = 0) {
     const char* A = E.A;
     const char* B = E.B;
     const long M = E.M, N = E.N, Q = E.Q, R = E.R;
@@ -371,6 +383,16 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
     auto& YY = E.YY;
 
     // ---- full forward scan with start propagation (sim.h:511-567) ----
+    // With a device-computed cell stream (kernels/sim_dev.py), the scan
+    // is skipped and add_node replays over the qualifying cells
+    // (score > min_score) in the same scan order — node-list state
+    // (creation order, eviction, bboxes) evolves identically.
+    if (cells) {
+        for (long z = 0; z < ncells; z++) {
+            const int32_t* c5 = cells + z * 5;
+            E.add_node(c5[0], c5[1], c5[2], c5[3], c5[4]);
+        }
+    } else {
     for (long j = 1; j <= N; j++) {
         CC[j] = 0;
         RR[j] = 0;
@@ -419,6 +441,7 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
             if (c > E.min_score) E.add_node(c, ci, cj, i, j);
         }
     }
+    }
 
     // ---- best-first extraction with rectangle recomputation ----
     long readd_floor = 0;  // `min` in the reference; 1 after first re-add
@@ -429,9 +452,11 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
             if (E.list[i].score > E.list[best].score) best = i;
         Node cur = E.list[best];
         E.nnode--;
+        E.node_idx.erase(E.start_key(cur.si, cur.sj));
         if (best != E.nnode) {
             E.list[best] = E.list[E.nnode];
             E.list[E.nnode] = cur;
+            E.node_idx[E.start_key(E.list[best].si, E.list[best].sj)] = best;
         }
         long score = cur.score;
         long stari = cur.si + 1, starj = cur.sj + 1;
@@ -747,15 +772,14 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
 
 extern "C" {
 
-// Run the exact engine on one (query, transformed ref, source ref) triple.
-// Outputs are parallel arrays; strings go into strbuf at stroffs[4*k..].
-// Returns the triplex count, or -1 if a buffer was too small.
-long lt_sim_scan(const char* rna, long M, const char* dnaT, long N,
-                 const char* src, long dna_start_pos, long min_score,
-                 long strand, long para, long nt_min, long nt_max,
-                 long penalty_t, long penalty_c, long cap, int32_t* ints,
-                 float* floats, int64_t* stroffs, char* strbuf,
-                 long strbuf_cap) {
+static long sim_scan_impl(const char* rna, long M, const char* dnaT, long N,
+                          const char* src, long dna_start_pos,
+                          long min_score, long strand, long para,
+                          long nt_min, long nt_max, long penalty_t,
+                          long penalty_c, long cap, int32_t* ints,
+                          float* floats, int64_t* stroffs, char* strbuf,
+                          long strbuf_cap, const int32_t* cells,
+                          long ncells) {
     Engine E;
     std::string qa, qb;
     qa.reserve(M + 1);
@@ -796,7 +820,7 @@ long lt_sim_scan(const char* rna, long M, const char* dnaT, long N,
     std::vector<Emit> out;
     std::string srcs(src, strlen(src));
     run_sim(E, srcs, dna_start_pos, strand, para, nt_min, nt_max, penalty_t,
-            penalty_c, out);
+            penalty_c, out, cells, ncells);
 
     if ((long)out.size() > cap) return -1;
     long soff = 0;
@@ -822,6 +846,37 @@ long lt_sim_scan(const char* rna, long M, const char* dnaT, long N,
         soff += t.rj.size();
     }
     return (long)out.size();
+}
+
+// Run the exact engine on one (query, transformed ref, source ref) triple.
+// Outputs are parallel arrays; strings go into strbuf at stroffs[4*k..].
+// Returns the triplex count, or -1 if a buffer was too small.
+long lt_sim_scan(const char* rna, long M, const char* dnaT, long N,
+                 const char* src, long dna_start_pos, long min_score,
+                 long strand, long para, long nt_min, long nt_max,
+                 long penalty_t, long penalty_c, long cap, int32_t* ints,
+                 float* floats, int64_t* stroffs, char* strbuf,
+                 long strbuf_cap) {
+    return sim_scan_impl(rna, M, dnaT, N, src, dna_start_pos, min_score,
+                         strand, para, nt_min, nt_max, penalty_t,
+                         penalty_c, cap, ints, floats, stroffs, strbuf,
+                         strbuf_cap, nullptr, 0);
+}
+
+// Device-assisted variant: the forward scan already ran on device
+// (kernels/sim_dev.py); cells = int32[ncells, 5] (c, ci, cj, i, j)
+// qualifying cells in scan order, replayed through add_node before the
+// extraction phase.  Output contract identical to lt_sim_scan.
+long lt_sim_replay(const char* rna, long M, const char* dnaT, long N,
+                   const char* src, long dna_start_pos, long min_score,
+                   long strand, long para, long nt_min, long nt_max,
+                   long penalty_t, long penalty_c, const int32_t* cells,
+                   long ncells, long cap, int32_t* ints, float* floats,
+                   int64_t* stroffs, char* strbuf, long strbuf_cap) {
+    return sim_scan_impl(rna, M, dnaT, N, src, dna_start_pos, min_score,
+                         strand, para, nt_min, nt_max, penalty_t,
+                         penalty_c, cap, ints, floats, stroffs, strbuf,
+                         strbuf_cap, cells, ncells);
 }
 
 }  // extern "C"

@@ -111,9 +111,48 @@ def _host_segment_stage_inner(p: Params, rna: np.ndarray, q_idx: np.ndarray,
                               cm_stride: int) -> list[Triplex]:
     scans = meta.scans
     if not p.do_fast_sim:
-        # exact SIM path: per-pair native calls (no colmax gating)
+        # exact SIM path: per-pair native calls (no colmax gating).
+        # FASIM_SIM_DEVICE=1 runs the forward scan (sim.h:511-567) on
+        # the device (kernels/sim_dev.py) and replays the qualifying
+        # cells through the host node list — bit-identical by the
+        # test_sim differential; the packed-start encoding needs
+        # (M+1)(N+2) < 2^31 (host path otherwise).
         found: list[Triplex] = []
         pairs = [rules.make_scan_strings(w.segment, s) for s in scans]
+        n = len(w.segment)
+        m = len(rna)
+        use_dev = (os.environ.get("FASIM_SIM_DEVICE", "0") == "1"
+                   and (m + 1) * (n + 2) < 2 ** 31)
+        if use_dev:
+            from ..kernels.sim_dev import sim_forward_cells
+
+            f32_ = np.float32
+            mp = (m + 7) // 8 * 8
+            # bound the fetched (N, Tg, mp) int32 x2 matrices to ~256 MB
+            tg = max(1, min(8, (256 << 20) // max(1, n * mp * 8)))
+            rna_bt = rna.tobytes()
+            for lo in range(0, len(scans), tg):
+                grp = range(lo, min(lo + tg, len(scans)))
+                mins = [int(int(gm_row[k]) * 0.8) for k in grp]
+                cells = sim_forward_cells(
+                    rna, [pairs[k][0] for k in grp], mins)
+                for gi, k in enumerate(grp):
+                    scan = scans[k]
+                    for (stari, endi, starj, endj, nt, score, ident,
+                         tri, ri, rj) in native.sim_scan_replay(
+                            rna_bt, pairs[k][0].tobytes(),
+                            pairs[k][1].tobytes(), w.start, mins[gi],
+                            scan["strand"], scan["para"], p.nt_min,
+                            p.nt_max, p.penalty_t, p.penalty_c,
+                            cells[gi]):
+                        found.append(Triplex(
+                            stari=stari, endi=endi, starj=starj,
+                            endj=endj, strand=scan["strand"],
+                            reverse=scan["para"], rule=scan["rule"],
+                            nt=nt, score=f32_(score),
+                            identity=f32_(ident), tri_score=f32_(tri),
+                            stri_align=ri, strj_align=rj))
+            return found
         for k, scan in enumerate(scans):
             min_score = int(int(gm_row[k]) * 0.8)
             _sim(rna, pairs[k][0], pairs[k][1], w.start, min_score,
@@ -207,6 +246,10 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
 
         for e in engines:
             e.setup_windows(rna)
+    if os.environ.get("FASIM_PREWARM", "1") == "1":
+        from .prewarm import prewarm_engines
+
+        prewarm_engines(engines, n_pad, batch_pairs, use_windows)
     # one stage thread per in-flight batch: the candidate stage's device
     # round-trips (sweep rounds) overlap across batches
     # stage workers are capped: with max_inflight=0 ("dispatch everything

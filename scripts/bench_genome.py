@@ -70,6 +70,16 @@ def main() -> int:
     from fasim_tpu.profiling import STAGES
     from fasim_tpu.scan.batched import scan_file_stream
 
+    # glibc creates one malloc arena per thread by default; with ~32 host
+    # worker threads the arena slack alone inflates RSS by GBs on a
+    # long-running scan.  Cap arenas before any worker thread exists.
+    import ctypes
+
+    try:
+        ctypes.CDLL("libc.so.6").mallopt(-8, 4)  # M_ARENA_MAX = 4
+    except OSError:
+        pass
+
     _, rna = fasta.read_rna(os.path.join(REPO, rna_path))
     prev_cwd = os.getcwd()
     with tempfile.TemporaryDirectory() as td:
@@ -98,13 +108,40 @@ def main() -> int:
                          batch_pairs=tpu.segments_per_batch,
                          max_inflight=tpu.max_inflight)
         STAGES.start_run()
+
+        # RSS attribution sampler: RSS (MB) every 2 s, tagged with the
+        # phase, so the peak can be attributed (scan loop vs output)
+        import threading
+
+        rss_samples: list[tuple[float, float, str]] = []
+        phase = ["scan"]
+        stop_evt = threading.Event()
+
+        def _rss_now() -> float:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) / 1024.0
+            return 0.0
+
+        def sampler():
+            t_start = time.time()
+            while not stop_evt.wait(2.0):
+                rss_samples.append((round(time.time() - t_start, 1),
+                                    round(_rss_now(), 1), phase[0]))
+
+        threading.Thread(target=sampler, daemon=True).start()
         t0 = time.time()
         metas, lnc, _, tlist = scan_file_stream(
             p, engines, batch_pairs=tpu.segments_per_batch,
             max_inflight=tpu.max_inflight)
+        phase[0] = "post"
+        rss_scan_end = _rss_now()
         first = metas[0]
         print_result(p, first.species, lnc, tlist, first.chro_tag,
                      first.seq_len, first.start_genome)
+        stop_evt.set()
+        rss_post_end = _rss_now()
         dt = time.time() - t0
         nrows = sum(1 for f in os.listdir(out) for _ in open(
             os.path.join(out, f)))
@@ -118,6 +155,12 @@ def main() -> int:
         "hits": len(tlist),
         "output_rows": nrows,
         "peak_rss_mb": round(rss_mb, 1),
+        "rss_scan_end_mb": round(rss_scan_end, 1),
+        "rss_post_end_mb": round(rss_post_end, 1),
+        "rss_peak_by_phase_mb": {
+            ph: max((r for _, r, p2 in rss_samples if p2 == ph),
+                    default=0.0)
+            for ph in ("scan", "post")},
         "stages": {k: v for k, v in STAGES.report().items()
                    if not k.startswith("n_")},
     }

@@ -24,8 +24,13 @@ GOLDEN = os.path.join(ORACLE, "golden")
     # truncated NEAT1 (long-query family; full 22.7 knt parity is verified
     # on TPU hardware against oracle/golden/neat1, see scripts/verify_tpu)
     ("neat1t", "testDNA.fa", "NEAT1t.fa", []),
+    # -F with the SIM forward scan on device (kernels/sim_dev.py) and
+    # the host replaying only the node list + extraction
+    ("h19F_trunc@simdev", "testDNAt.fa", "H19t.fa", ["-F", "-lg", "40"]),
 ])
 def test_demo_byte_identical(tmp_path, case, f1, f2, extra):
+    sim_dev = case.endswith("@simdev")
+    case = case.split("@")[0]
     golden_dir = os.path.join(GOLDEN, case)
     shutil.copy(os.path.join(ORACLE, f1), tmp_path)
     shutil.copy(os.path.join(ORACLE, f2), tmp_path)
@@ -33,6 +38,8 @@ def test_demo_byte_identical(tmp_path, case, f1, f2, extra):
     out.mkdir()
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(ORACLE)
+    if sim_dev:
+        env["FASIM_SIM_DEVICE"] = "1"
     r = subprocess.run(
         [sys.executable, "-m", "fasim_tpu.cli", "-f1", f1,
          "-f2", f2, "-O", "out/", "--tpu-stdout-compat", "true", *extra],

@@ -73,3 +73,36 @@ def test_sim_tt_runs_and_coordinate_flip(harness, tmp_path):
         ref = _ref_rows(harness, tmp_path, rna, seq, src, 10, strand, para, 4)
         ours = _our_rows(rna, seq, src, 10, strand, para, 4)
         assert ours == ref, (strand, para)
+
+
+def test_sim_device_forward_replay():
+    """Device (XLA) forward scan + host add_node replay == pure host
+    sim_scan, row-for-row, across random and homology-planted cases."""
+    from fasim_tpu.kernels.sim_dev import sim_forward_cells
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for case in range(6):
+        m = int(rng.integers(40, 160))
+        n = int(rng.integers(80, 400))
+        rna = bases[rng.integers(0, 4, m)]
+        seq = bases[rng.integers(0, 4, n)]
+        if case % 2 == 0:  # plant homology so extraction does real work
+            ql = min(m, int(rng.integers(20, 60)))
+            lo = int(rng.integers(0, n - ql))
+            piece = rna[:ql].copy()
+            muts = rng.random(ql) < 0.1
+            piece[muts] = bases[rng.integers(0, 4, int(muts.sum()))]
+            seq[lo:lo + ql] = piece
+        if case == 5:
+            seq[10:20] = ord("N")  # non-ACGT column (V row zero)
+        src = seq.copy()
+        min_score = int(rng.integers(20, 80))
+        host = native.sim_scan(rna.tobytes(), seq.tobytes(),
+                               src.tobytes(), 0, min_score, 0, 1, 10,
+                               100000, 1, 0)
+        cells = sim_forward_cells(rna, [seq], [min_score])[0]
+        dev = native.sim_scan_replay(rna.tobytes(), seq.tobytes(),
+                                     src.tobytes(), 0, min_score, 0, 1,
+                                     10, 100000, 1, 0, cells)
+        assert dev == host, (case, m, n, min_score)

@@ -142,6 +142,38 @@ def test_pallas_window_kernel_matches_xla(rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_pallas_window_kernel_v1_fallback(rng):
+    """The v1 transposed kernel (FASIM_WIN_V1 fallback) stays exact."""
+    from fasim_tpu.kernels.tpu import TpuScanEngine
+
+    m = 143
+    rna = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, m)]
+    xla = XlaScanEngine(rna)
+    xla.setup_windows(rna)
+    tpu = TpuScanEngine(rna, interpret=True)
+    import os
+
+    os.environ["FASIM_WIN_V1"] = "1"
+    try:
+        tpu.setup_windows(rna)
+    finally:
+        del os.environ["FASIM_WIN_V1"]
+    assert not tpu.win_v2
+    tpu.win_rows = 8
+    R, W = 13, 128
+    codes = rng.integers(0, 5, (R, W)).astype(np.uint8)
+    rlens = rng.integers(4, W + 1, R).astype(np.int32)
+    offs = rng.integers(0, m // 2, R).astype(np.int32)
+    terms = np.where(rng.random(R) < 0.5, -1,
+                     rng.integers(5, 60, R)).astype(np.int32)
+    mreals = (m + rng.integers(0, 16, R)).astype(np.int32)
+    for rev in (False, True):
+        a = np.asarray(xla.window_pass(codes, offs, terms, rlens, mreals,
+                                       rev=rev))
+        b = tpu.window_pass(codes, offs, terms, rlens, mreals, rev=rev)
+        np.testing.assert_array_equal(a, b)
+
+
 def test_window_pass_specs_parity(rng):
     """Production specs interface: Pallas (interpret) == XLA, and both
     equal the direct codes interface, on a realistic mixed fwd/rev spec
