@@ -511,11 +511,15 @@ class TpuScanEngine:
             mt = np.zeros((rp, 128), np.int32)
             mt[:rows, 0] = offs
             mt[:rows, 1] = mreals
+            m16 = _round_up(m, 16)
+            uniform = bool(not np.asarray(offs).any()
+                           and (np.asarray(mreals) == m16).all())
             mk = np.asarray(_wscan_call(
                 self._put(cp.reshape(rp // R, R, Wp)),
                 self._put(mt.reshape(rp // R, R, 128)),
                 self._qwin2[(bool(rev), fwin)], m=m,
                 sstart=self.win_sstart, fwin=fwin, wcols=wcols,
+                uniform=uniform, step2=_WSTEP2,
                 interpret=self.interpret)).reshape(rp, Wp)[:rows]
             mx, mrow = _decode_key(mk)
             return window_stats_to_ends(mx, mrow, terms, rlens, m)
@@ -632,6 +636,10 @@ class TpuScanEngine:
                     part[k] = self._put(a)
                 if v2:
                     wcols, fwin = _WCLASSES[w]
+                    m16 = _round_up(self.m, 16)
+                    uniform = bool(
+                        not spec["offs"][idx].any()
+                        and (spec["mreals"][idx] == m16).all())
                     dev = _wspecs_call(
                         segs_d, lens_d, lut_s, is_tr,
                         self._qwin2[(bool(rev), fwin)],
@@ -639,7 +647,8 @@ class TpuScanEngine:
                         part["dirn"], part["rlens"], part["offs"],
                         part["terms"], part["mreals"], m=self.m,
                         sstart=self.win_sstart, fwin=fwin, wcols=wcols,
-                        R=self._win_R[fwin], interpret=self.interpret)
+                        R=self._win_R[fwin], uniform=uniform,
+                        step2=_WSTEP2, interpret=self.interpret)
                 elif w == 64:
                     dev = _window_specs_call2(
                         segs_d, lens_d, lut_s, is_tr, qc,
@@ -1392,10 +1401,13 @@ _WCLASSES = {48: (48, 64), 64: (64, 128), 96: (96, 128),
 # class; bigger dispatches loop over it (see _wspecs_call)
 _WCG = 16
 
+# two window columns per loop iteration (halves fori bookkeeping)
+_WSTEP2 = os.environ.get("FASIM_WIN_STEP2", "1") == "1"
+
 
 def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,
                   *, m: int, sstart: int, fwin: int, wcols: int,
-                  unroll: int = 1):
+                  uniform: bool = False, step2: bool = False):
     """One (row-batch g, 128-column chunk) grid step of the v2 window
     pass.  qrow: int32[1, Mp] query codes (pad lanes 127); codes block
     (1, R, 128) uint8 window columns; rmeta block (1, R, 128) with lane
@@ -1403,6 +1415,12 @@ def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,
     lane 1 = mreal (exclusive stats lane bound = m + phantom rows of the
     emulated byte/word pass).  Emits int32 stats keys per (row, window
     column); _decode_key yields (column max, first attaining query row).
+
+    `uniform` (static): every row has off == 0 and mreal == m16 — true
+    for ALL forward-pass dispatches — so the profile/stats masks are
+    (1, Mp) rows instead of (R, Mp) materializations.  `step2` (static):
+    process two window columns per loop iteration (halves the loop
+    bookkeeping; same op stream otherwise).
     """
     R, Mp = h_ref.shape
     go = jnp.int32(GAP_OPEN)
@@ -1415,22 +1433,26 @@ def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
     q = qrow_ref[0:1, :]
-    mt = rmeta_ref[0]
-    off = mt[:, 0:1]
-    mreal = pltpu.roll(mt, shift=_CHUNK - 1, axis=1)[:, 0:1]
-    # per-row profile/stats masks, hoisted out of the column loop
-    live = (iota >= off) & (iota < m)
+    if uniform:
+        live = iota < m
+        m16 = _round_up(m, 16)
+        kmask = jnp.where(iota < m16, _KT_MASK - iota, _NEG)
+    else:
+        mt = rmeta_ref[0]
+        off = mt[:, 0:1]
+        mreal = pltpu.roll(mt, shift=_CHUNK - 1, axis=1)[:, 0:1]
+        live = (iota >= off) & (iota < m)
+        kmask = jnp.where(iota < mreal, _KT_MASK - iota, _NEG)
+    # profile/stats masks, hoisted out of the column loop
     hi = jnp.where(live & (q < 4), jnp.int32(5),
                    jnp.where(live, jnp.int32(-4), 0))
     lo = jnp.where(live, jnp.int32(-4), 0)
-    kmask = jnp.where(iota < mreal, _KT_MASK - iota, _NEG)
     fbias = jnp.where(iota < sstart, iota * ge, _NEG)
     foff = go + (iota - 1) * ge
     idx1 = iota >= 1
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, _CHUNK), 1)
 
-    def col(j, carry):
-        chunk, cmacc = carry
+    def one(j, chunk, cmacc):
         code = chunk[:, 0:1]
         s = jnp.where(code == q, hi, lo)
         hp = h_ref[:]
@@ -1452,18 +1474,33 @@ def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,
         chunk = pltpu.roll(chunk, shift=_CHUNK - 1, axis=1)
         return chunk, cmacc
 
+    nloop = min(wcols, _CHUNK)
+    if step2:
+        def col(j2, carry):
+            chunk, cmacc = carry
+            chunk, cmacc = one(2 * j2, chunk, cmacc)
+            chunk, cmacc = one(2 * j2 + 1, chunk, cmacc)
+            return chunk, cmacc
+
+        steps = nloop // 2
+    else:
+        def col(j, carry):
+            return one(j, *carry)
+
+        steps = nloop
     ck = codes_ref[0].astype(jnp.int32)
     cmacc0 = jnp.zeros((R, _CHUNK), jnp.int32)
-    _, cmacc = jax.lax.fori_loop(0, min(wcols, _CHUNK), col, (ck, cmacc0),
-                                 unroll=unroll)
+    _, cmacc = jax.lax.fori_loop(0, steps, col, (ck, cmacc0),
+                                 unroll=1)
     out_ref[0] = cmacc
 
 
 @functools.partial(jax.jit,
                    static_argnames=("m", "sstart", "fwin", "wcols",
-                                    "interpret"))
+                                    "uniform", "step2", "interpret"))
 def _wscan_call(codes, rmeta, qrow, *, m: int, sstart: int, fwin: int,
-                wcols: int, interpret: bool = False):
+                wcols: int, uniform: bool = False, step2: bool = False,
+                interpret: bool = False):
     """codes uint8[G, R, Wp]; rmeta int32[G, R, 128]; qrow int32[1, Mp]
     -> stats keys int32[G, R, Wp] (columns >= wcols stay 0: decoded as
     colmax 0, masked off by the host ends reduction's rlens gate)."""
@@ -1472,7 +1509,7 @@ def _wscan_call(codes, rmeta, qrow, *, m: int, sstart: int, fwin: int,
     nchunk = max(1, wcols // _CHUNK)
     kernel = functools.partial(
         _wscan_kernel, m=m, sstart=sstart, fwin=fwin, wcols=wcols,
-        unroll=int(os.environ.get("FASIM_WIN_UNROLL", "1")))
+        uniform=uniform, step2=step2)
     return pl.pallas_call(
         kernel,
         grid=(G, nchunk),
@@ -1502,10 +1539,11 @@ def _wscan_call(codes, rmeta, qrow, *, m: int, sstart: int, fwin: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("m", "sstart", "fwin", "wcols", "R",
-                                    "interpret"))
+                                    "uniform", "step2", "interpret"))
 def _wspecs_call(segs, lengths, lut_s, is_tr, qrow, seg_idx, scan_idx,
                  base, dirn, rlens, offs, terms, mreals, *, m: int,
                  sstart: int, fwin: int, wcols: int, R: int,
+                 uniform: bool = False, step2: bool = False,
                  interpret: bool = False):
     """Device-side window build + v2 pass + ends reduction in one
     program (the v2 analogue of _window_specs_call; the spec contract
@@ -1541,7 +1579,7 @@ def _wspecs_call(segs, lengths, lut_s, is_tr, qrow, seg_idx, scan_idx,
             code[lo:lo + step].reshape(CG, R, Wp),
             rmeta[lo:lo + step].reshape(CG, R, 128),
             qrow, m=m, sstart=sstart, fwin=fwin, wcols=wcols,
-            interpret=interpret))
+            uniform=uniform, step2=step2, interpret=interpret))
     mk = jnp.concatenate(parts, axis=0)
     mx, mrow = _decode_key(mk.reshape(rows, Wp))
     return _ends_from_stats(mx, mrow, terms, rlens, m)

@@ -71,9 +71,15 @@ struct Engine {
     long min_score;
     long V[128][128];
     std::vector<std::vector<long>> used;  // per query row: aligned-cell cols
-    // DP scratch, reused across phases exactly like the reference arrays
-    std::vector<long> CC, DD, RR, SS, EE, FF;  // length N+1
-    std::vector<long> HH, WW, II, JJ, XX, YY;  // length M+1
+    // DP scratch, reused across phases exactly like the reference arrays.
+    // Per ref column (length N+1): cell value + vertical-gap value, each
+    // with its propagated (start_i, start_j).
+    std::vector<long> col_score, col_vgap, col_si, vgap_si;
+    std::vector<long> col_sj, vgap_sj;
+    // Rectangle-recompute row-boundary caches (length M+1): boundary
+    // cell/gap values + their starts.
+    std::vector<long> edge_score, edge_gap, edge_si, edge_sj;
+    std::vector<long> edgeg_si, edgeg_sj;
     Node list[KMAX];
     long nnode = 0;
     // (si, sj) -> list index.  The add_node threshold quirk (c 10x-scaled
@@ -198,73 +204,73 @@ struct Engine {
             return midc;
         }
         long midi = m / 2;
-        // forward half: CC = best score ending at (midi, j), DD with open gap
-        CC[0] = 0;
+        // forward half: col_score = best score ending at (midi, j), col_vgap with open gap
+        col_score[0] = 0;
         long t = -Q;
         for (long j = 1; j <= n; j++) {
-            CC[j] = t = t - R;
-            DD[j] = t - Q;
+            col_score[j] = t = t - R;
+            col_vgap[j] = t - Q;
         }
         t = -tb;
         for (long i = 1; i <= midi; i++) {
-            long s = CC[0];
-            long c = CC[0] = t = t - R;
+            long s = col_score[0];
+            long c = col_score[0] = t = t - R;
             long e = t - Q;
             const long* va = V[(unsigned char)a[i]];
             for (long j = 1; j <= n; j++) {
                 long d;
                 if ((c = c - Q - R) > (e = e - R)) e = c;
-                if ((c = CC[j] - Q - R) > (d = DD[j] - R)) d = c;
+                if ((c = col_score[j] - Q - R) > (d = col_vgap[j] - R)) d = c;
                 if (!cell_used(i + i0, j + j0)) c = s + va[(unsigned char)b[j]];
                 if (c < d) c = d;
                 if (c < e) c = e;
-                s = CC[j];
-                CC[j] = c;
-                DD[j] = d;
+                s = col_score[j];
+                col_score[j] = c;
+                col_vgap[j] = d;
             }
         }
-        DD[0] = CC[0];
-        // reverse half: RR = best score starting at (midi, j)
-        RR[n] = 0;
+        col_vgap[0] = col_score[0];
+        // reverse half: col_si = best score starting at (midi, j)
+        col_si[n] = 0;
         t = -Q;
         for (long j = n - 1; j >= 0; j--) {
-            RR[j] = t = t - R;
-            SS[j] = t - Q;
+            col_si[j] = t = t - R;
+            vgap_si[j] = t - Q;
         }
         t = -te;
         for (long i = m - 1; i >= midi; i--) {
-            long s = RR[n];
-            long c = RR[n] = t = t - R;
+            long s = col_si[n];
+            long c = col_si[n] = t = t - R;
             long e = t - Q;
             const long* va = V[(unsigned char)a[i + 1]];
             for (long j = n - 1; j >= 0; j--) {
                 long d;
                 if ((c = c - Q - R) > (e = e - R)) e = c;
-                if ((c = RR[j] - Q - R) > (d = SS[j] - R)) d = c;
+                if ((c = col_si[j] - Q - R) > (d = vgap_si[j] - R)) d = c;
                 if (!cell_used(i + 1 + i0, j + 1 + j0))
                     c = s + va[(unsigned char)b[j + 1]];
                 if (c < d) c = d;
                 if (c < e) c = e;
-                s = RR[j];
-                RR[j] = c;
-                SS[j] = d;
+                s = col_si[j];
+                col_si[j] = c;
+                vgap_si[j] = d;
             }
         }
-        SS[n] = RR[n];
+        vgap_si[n] = col_si[n];
         // pick the crossing column (type 2 = the gap spans the midline)
-        long midc = CC[0] + RR[0];
+        long midc = col_score[0] + col_si[0];
         long midj = 0;
         int type = 1;
         for (long j = 0; j <= n; j++) {
-            long c = CC[j] + RR[j];
+            long c = col_score[j] + col_si[j];
             if (c >= midc)
-                if (c > midc || (CC[j] != DD[j] && RR[j] == SS[j])) {
+                if (c > midc || (col_score[j] != col_vgap[j] && col_si[j] == vgap_si[j])) {
                     midc = c;
                     midj = j;
                 }
         }
         for (long j = n; j >= 0; j--) {
-            long c = DD[j] + SS[j] + Q;
+            long c = col_vgap[j] + vgap_si[j] + Q;
             if (c > midc) {
                 midc = c;
                 midj = j;
@@ -369,18 +375,18 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
     const char* A = E.A;
     const char* B = E.B;
     const long M = E.M, N = E.N, Q = E.Q, R = E.R;
-    auto& CC = E.CC;
-    auto& DD = E.DD;
-    auto& RR = E.RR;  // start_i of CC
-    auto& SS = E.SS;  // start_i of DD
-    auto& EE = E.EE;  // start_j of CC
-    auto& FF = E.FF;  // start_j of DD
-    auto& HH = E.HH;
-    auto& WW = E.WW;
-    auto& II = E.II;
-    auto& JJ = E.JJ;
-    auto& XX = E.XX;
-    auto& YY = E.YY;
+    auto& col_score = E.col_score;
+    auto& col_vgap = E.col_vgap;
+    auto& col_si = E.col_si;  // start_i of col_score
+    auto& vgap_si = E.vgap_si;  // start_i of col_vgap
+    auto& col_sj = E.col_sj;  // start_j of col_score
+    auto& vgap_sj = E.vgap_sj;  // start_j of col_vgap
+    auto& edge_score = E.edge_score;
+    auto& edge_gap = E.edge_gap;
+    auto& edge_si = E.edge_si;
+    auto& edge_sj = E.edge_sj;
+    auto& edgeg_si = E.edgeg_si;
+    auto& edgeg_sj = E.edgeg_sj;
 
     // ---- full forward scan with start propagation (sim.h:511-567) ----
     // With a device-computed cell stream (kernels/sim_dev.py), the scan
@@ -394,12 +400,12 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
         }
     } else {
     for (long j = 1; j <= N; j++) {
-        CC[j] = 0;
-        RR[j] = 0;
-        EE[j] = j;
-        DD[j] = -Q;
-        SS[j] = 0;
-        FF[j] = j;
+        col_score[j] = 0;
+        col_si[j] = 0;
+        col_sj[j] = j;
+        col_vgap[j] = -Q;
+        vgap_si[j] = 0;
+        vgap_sj[j] = j;
     }
     for (long i = 1; i <= M; i++) {
         long c = 0, f = -Q, p = 0;
@@ -411,12 +417,12 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
             f = f - R;
             c = c - Q - R;
             take_max(f, fi, fj, c, ci, cj);
-            c = CC[j] - Q - R;
-            ci = RR[j];
-            cj = EE[j];
-            d = DD[j] - R;
-            di = SS[j];
-            dj = FF[j];
+            c = col_score[j] - Q - R;
+            ci = col_si[j];
+            cj = col_sj[j];
+            d = col_vgap[j] - R;
+            di = vgap_si[j];
+            dj = vgap_sj[j];
             take_max(d, di, dj, c, ci, cj);
             c = E.cell_used(i, j) ? 0 : p + va[(unsigned char)B[j]];
             if (c <= 0) {
@@ -429,15 +435,15 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
             }
             take_max(c, ci, cj, d, di, dj);
             take_max(c, ci, cj, f, fi, fj);
-            p = CC[j];
-            CC[j] = c;
-            pi = RR[j];
-            pj = EE[j];
-            RR[j] = ci;
-            EE[j] = cj;
-            DD[j] = d;
-            SS[j] = di;
-            FF[j] = dj;
+            p = col_score[j];
+            col_score[j] = c;
+            pi = col_si[j];
+            pj = col_sj[j];
+            col_si[j] = ci;
+            col_sj[j] = cj;
+            col_vgap[j] = d;
+            vgap_si[j] = di;
+            vgap_sj[j] = dj;
             if (c > E.min_score) E.add_node(c, ci, cj, i, j);
         }
     }
@@ -528,11 +534,11 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
         // until it clears every other node's bbox (sim.h:892-1141) ----
         bool flag = false;
         for (long j = nn; j >= n1; j--) {
-            CC[j] = 0;
-            EE[j] = j;
-            DD[j] = -Q;
-            FF[j] = j;
-            RR[j] = SS[j] = mm + 1;
+            col_score[j] = 0;
+            col_sj[j] = j;
+            col_vgap[j] = -Q;
+            vgap_sj[j] = j;
+            col_si[j] = vgap_si[j] = mm + 1;
         }
         long ci = 0, cj = 0, di = 0, dj = 0, fi = 0, fj = 0;
         for (long i = mm; i >= m1; i--) {
@@ -547,12 +553,12 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
                 f = f - R;
                 c = c - Q - R;
                 take_max(f, fi, fj, c, ci, cj);
-                c = CC[j] - Q - R;
-                ci = RR[j];
-                cj = EE[j];
-                d = DD[j] - R;
-                di = SS[j];
-                dj = FF[j];
+                c = col_score[j] - Q - R;
+                ci = col_si[j];
+                cj = col_sj[j];
+                d = col_vgap[j] - R;
+                di = vgap_si[j];
+                dj = vgap_sj[j];
                 take_max(d, di, dj, c, ci, cj);
                 c = E.cell_used(i, j) ? 0 : p + va[(unsigned char)B[j]];
                 if (c <= 0) {
@@ -565,23 +571,23 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
                 }
                 take_max(c, ci, cj, d, di, dj);
                 take_max(c, ci, cj, f, fi, fj);
-                p = CC[j];
-                CC[j] = c;
-                pi = RR[j];
-                pj = EE[j];
-                RR[j] = ci;
-                EE[j] = cj;
-                DD[j] = d;
-                SS[j] = di;
-                FF[j] = dj;
+                p = col_score[j];
+                col_score[j] = c;
+                pi = col_si[j];
+                pj = col_sj[j];
+                col_si[j] = ci;
+                col_sj[j] = cj;
+                col_vgap[j] = d;
+                vgap_si[j] = di;
+                vgap_sj[j] = dj;
                 if (c > readd_floor) flag = true;
             }
-            HH[i] = CC[n1];
-            II[i] = RR[n1];
-            JJ[i] = EE[n1];
-            WW[i] = f;
-            XX[i] = fi;
-            YY[i] = fj;
+            edge_score[i] = col_score[n1];
+            edge_si[i] = col_si[n1];
+            edge_sj[i] = col_sj[n1];
+            edge_gap[i] = f;
+            edgeg_si[i] = fi;
+            edgeg_sj[i] = fj;
         }
         for (rl = m1, cl = n1;;) {
             bool rflag = true, cflag = true;
@@ -600,12 +606,12 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
                         f = f - R;
                         c = c - Q - R;
                         take_max(f, fi, fj, c, ci, cj);
-                        c = CC[j] - Q - R;
-                        ci = RR[j];
-                        cj = EE[j];
-                        d = DD[j] - R;
-                        di = SS[j];
-                        dj = FF[j];
+                        c = col_score[j] - Q - R;
+                        ci = col_si[j];
+                        cj = col_sj[j];
+                        d = col_vgap[j] - R;
+                        di = vgap_si[j];
+                        dj = vgap_sj[j];
                         take_max(d, di, dj, c, ci, cj);
                         c = E.cell_used(m1, j) ? 0
                                                    : p + va[(unsigned char)B[j]];
@@ -619,27 +625,27 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
                         }
                         take_max(c, ci, cj, d, di, dj);
                         take_max(c, ci, cj, f, fi, fj);
-                        p = CC[j];
-                        CC[j] = c;
-                        pi = RR[j];
-                        pj = EE[j];
-                        RR[j] = ci;
-                        EE[j] = cj;
-                        DD[j] = d;
-                        SS[j] = di;
-                        FF[j] = dj;
+                        p = col_score[j];
+                        col_score[j] = c;
+                        pi = col_si[j];
+                        pj = col_sj[j];
+                        col_si[j] = ci;
+                        col_sj[j] = cj;
+                        col_vgap[j] = d;
+                        vgap_si[j] = di;
+                        vgap_sj[j] = dj;
                         if (c > readd_floor) flag = true;
                         if (!rflag && ((ci > rl && cj > cl) ||
                                        (di > rl && dj > cl) ||
                                        (fi > rl && fj > cl)))
                             rflag = true;
                     }
-                    HH[m1] = CC[n1];
-                    II[m1] = RR[n1];
-                    JJ[m1] = EE[n1];
-                    WW[m1] = f;
-                    XX[m1] = fi;
-                    YY[m1] = fj;
+                    edge_score[m1] = col_score[n1];
+                    edge_si[m1] = col_si[n1];
+                    edge_sj[m1] = col_sj[n1];
+                    edge_gap[m1] = f;
+                    edgeg_si[m1] = fi;
+                    edgeg_sj[m1] = fj;
                     if (!cflag && ((ci > rl && cj > cl) ||
                                    (di > rl && dj > cl) ||
                                    (fi > rl && fj > cl)))
@@ -659,12 +665,12 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
                         f = f - R;
                         c = c - Q - R;
                         take_max(f, fi, fj, c, ci, cj);
-                        c = HH[i] - Q - R;
-                        ci = II[i];
-                        cj = JJ[i];
-                        d = WW[i] - R;
-                        di = XX[i];
-                        dj = YY[i];
+                        c = edge_score[i] - Q - R;
+                        ci = edge_si[i];
+                        cj = edge_sj[i];
+                        d = edge_gap[i] - R;
+                        di = edgeg_si[i];
+                        dj = edgeg_sj[i];
                         take_max(d, di, dj, c, ci, cj);
                         c = E.cell_used(i, n1) ? 0
                                                    : p + va[(unsigned char)A[i]];
@@ -678,27 +684,27 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
                         }
                         take_max(c, ci, cj, d, di, dj);
                         take_max(c, ci, cj, f, fi, fj);
-                        p = HH[i];
-                        HH[i] = c;
-                        pi = II[i];
-                        pj = JJ[i];
-                        II[i] = ci;
-                        JJ[i] = cj;
-                        WW[i] = d;
-                        XX[i] = di;
-                        YY[i] = dj;
+                        p = edge_score[i];
+                        edge_score[i] = c;
+                        pi = edge_si[i];
+                        pj = edge_sj[i];
+                        edge_si[i] = ci;
+                        edge_sj[i] = cj;
+                        edge_gap[i] = d;
+                        edgeg_si[i] = di;
+                        edgeg_sj[i] = dj;
                         if (c > readd_floor) flag = true;
                         if (!cflag && ((ci > rl && cj > cl) ||
                                        (di > rl && dj > cl) ||
                                        (fi > rl && fj > cl)))
                             cflag = true;
                     }
-                    CC[n1] = HH[m1];
-                    RR[n1] = II[m1];
-                    EE[n1] = JJ[m1];
-                    DD[n1] = f;
-                    SS[n1] = fi;
-                    FF[n1] = fj;
+                    col_score[n1] = edge_score[m1];
+                    col_si[n1] = edge_si[m1];
+                    col_sj[n1] = edge_sj[m1];
+                    col_vgap[n1] = f;
+                    vgap_si[n1] = fi;
+                    vgap_sj[n1] = fj;
                     if (!rflag && ((ci > rl && cj > cl) ||
                                    (di > rl && dj > cl) ||
                                    (fi > rl && fj > cl)))
@@ -714,12 +720,12 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
         if (flag) {
             // forward re-scan of the expanded rectangle, re-adding nodes
             for (long j = n1 + 1; j <= nn; j++) {
-                CC[j] = 0;
-                RR[j] = m1;
-                EE[j] = j;
-                DD[j] = -Q;
-                SS[j] = m1;
-                FF[j] = j;
+                col_score[j] = 0;
+                col_si[j] = m1;
+                col_sj[j] = j;
+                col_vgap[j] = -Q;
+                vgap_si[j] = m1;
+                vgap_sj[j] = j;
             }
             for (long i = m1 + 1; i <= mm; i++) {
                 long c = 0, p = 0, f = -Q;
@@ -733,12 +739,12 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
                     f = f - R;
                     c = c - Q - R;
                     take_max(f, fi, fj, c, ci, cj);
-                    c = CC[j] - Q - R;
-                    ci = RR[j];
-                    cj = EE[j];
-                    d = DD[j] - R;
-                    di = SS[j];
-                    dj = FF[j];
+                    c = col_score[j] - Q - R;
+                    ci = col_si[j];
+                    cj = col_sj[j];
+                    d = col_vgap[j] - R;
+                    di = vgap_si[j];
+                    dj = vgap_sj[j];
                     take_max(d, di, dj, c, ci, cj);
                     c = E.cell_used(i, j) ? 0 : p + va[(unsigned char)B[j]];
                     if (c <= 0) {
@@ -751,15 +757,15 @@ void run_sim(Engine& E, const std::string& src, long dna_start_pos,
                     }
                     take_max(c, ci, cj, d, di, dj);
                     take_max(c, ci, cj, f, fi, fj);
-                    p = CC[j];
-                    CC[j] = c;
-                    pi = RR[j];
-                    pj = EE[j];
-                    RR[j] = ci;
-                    EE[j] = cj;
-                    DD[j] = d;
-                    SS[j] = di;
-                    FF[j] = dj;
+                    p = col_score[j];
+                    col_score[j] = c;
+                    pi = col_si[j];
+                    pj = col_sj[j];
+                    col_si[j] = ci;
+                    col_sj[j] = cj;
+                    col_vgap[j] = d;
+                    vgap_si[j] = di;
+                    vgap_sj[j] = dj;
                     if (c > readd_floor)
                         readd_floor = E.add_node(c, ci, cj, i, j);
                 }
@@ -803,18 +809,18 @@ static long sim_scan_impl(const char* rna, long M, const char* dnaT, long N,
     E.R = 40;
     E.min_score = min_score;
     E.used.assign(M + 1, {});
-    E.CC.assign(N + 1, 0);
-    E.DD.assign(N + 1, 0);
-    E.RR.assign(N + 1, 0);
-    E.SS.assign(N + 1, 0);
-    E.EE.assign(N + 1, 0);
-    E.FF.assign(N + 1, 0);
-    E.HH.assign(M + 1, 0);
-    E.WW.assign(M + 1, 0);
-    E.II.assign(M + 1, 0);
-    E.JJ.assign(M + 1, 0);
-    E.XX.assign(M + 1, 0);
-    E.YY.assign(M + 1, 0);
+    E.col_score.assign(N + 1, 0);
+    E.col_vgap.assign(N + 1, 0);
+    E.col_si.assign(N + 1, 0);
+    E.vgap_si.assign(N + 1, 0);
+    E.col_sj.assign(N + 1, 0);
+    E.vgap_sj.assign(N + 1, 0);
+    E.edge_score.assign(M + 1, 0);
+    E.edge_gap.assign(M + 1, 0);
+    E.edge_si.assign(M + 1, 0);
+    E.edge_sj.assign(M + 1, 0);
+    E.edgeg_si.assign(M + 1, 0);
+    E.edgeg_sj.assign(M + 1, 0);
     E.script.reserve(M + N + 2);
 
     std::vector<Emit> out;

@@ -60,7 +60,10 @@ def prewarm_engines(engines, n_pad: int, batch_pairs: int,
                         "rlens": np.full(bsz, w, np.int32),
                         "offs": np.zeros(bsz, np.int32),
                         "terms": np.full(bsz, -1, np.int32),
-                        "mreals": np.full(bsz, eng.m, np.int32),
+                        # m16, so this hits the production fwd compile
+                        # (the uniform-mask kernel variant)
+                        "mreals": np.full(bsz, (eng.m + 15) // 16 * 16,
+                                          np.int32),
                     }
                     segs = np.zeros((batch_pairs, n_pad), np.uint8)
                     lengths = np.full(batch_pairs, 128, np.int32)
