@@ -511,9 +511,7 @@ class TpuScanEngine:
             mt = np.zeros((rp, 128), np.int32)
             mt[:rows, 0] = offs
             mt[:rows, 1] = mreals
-            m16 = _round_up(m, 16)
-            uniform = bool(not np.asarray(offs).any()
-                           and (np.asarray(mreals) == m16).all())
+            uniform = False
             mk = np.asarray(_wscan_call(
                 self._put(cp.reshape(rp // R, R, Wp)),
                 self._put(mt.reshape(rp // R, R, 128)),
@@ -636,10 +634,10 @@ class TpuScanEngine:
                     part[k] = self._put(a)
                 if v2:
                     wcols, fwin = _WCLASSES[w]
-                    m16 = _round_up(self.m, 16)
-                    uniform = bool(
-                        not spec["offs"][idx].any()
-                        and (spec["mreals"][idx] == m16).all())
+                    # uniform (1, Mp) masks measured ~10% SLOWER than
+                    # per-row (R, Mp) materializations on v5e (broadcast
+                    # reads cost more than full-row reads); keep False
+                    uniform = False
                     dev = _wspecs_call(
                         segs_d, lens_d, lut_s, is_tr,
                         self._qwin2[(bool(rev), fwin)],
@@ -1401,8 +1399,9 @@ _WCLASSES = {48: (48, 64), 64: (64, 128), 96: (96, 128),
 # class; bigger dispatches loop over it (see _wspecs_call)
 _WCG = 16
 
-# two window columns per loop iteration (halves fori bookkeeping)
-_WSTEP2 = os.environ.get("FASIM_WIN_STEP2", "1") == "1"
+# two window columns per loop iteration — measured neutral on v5e
+# (35.4 -> 34.8 ms, within noise); opt-in for future targets
+_WSTEP2 = os.environ.get("FASIM_WIN_STEP2", "0") == "1"
 
 
 def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,

@@ -333,6 +333,19 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
             inflight.append(stages.submit(
                 process_batch, batch, segs, lengths, eng, out))
 
+        # long streamed runs churn large short-lived host mirrors of
+        # device arrays (colmax rows, packed candidates); glibc keeps the
+        # freed chunks mapped, so RSS grows with input length (measured
+        # ~33 MB per Mb of genome with live jax arrays flat).  Return
+        # free heap to the OS every few batches.
+        try:
+            import ctypes
+
+            _libc = ctypes.CDLL("libc.so.6")
+            _libc.mallopt(-8, 4)  # M_ARENA_MAX: cap per-thread arenas
+        except OSError:
+            _libc = None
+
         nbatch = 0
         batch: list[_Work] = []
         for w in work_iter:
@@ -344,6 +357,8 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
             yield from drain_done(min_keep=host_backlog)
             dispatch(batch, nbatch)
             nbatch += 1
+            if _libc is not None and nbatch % 8 == 0:
+                _libc.malloc_trim(0)
             batch = []
         if batch:
             if len(inflight) >= max_inflight:
