@@ -37,6 +37,8 @@ FULL_CASES = [
     ("meg3_full", "meg3dna.fa", "MEG3.fa", []),
     ("neat1", "testDNA.fa", "NEAT1.fa", []),
     ("malat1", "testDNA.fa", "MALAT1.fa", []),
+    # full (non-truncated) -F SIM demo, ~90 s host engine
+    ("h19_F", "testDNA.fa", "H19.fa", ["-F", "-lg", "40"]),
 ]
 
 
