@@ -298,6 +298,24 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
                 _host_segment_stage, p, rna, q_idx, rna_b, meta, w,
                 gm[i], cm[i], stride)) for i, w in enumerate(batch)]
 
+        # Watchdog: a remote backend can silently drop a response (seen
+        # once on a multi-hour run: the process slept on a device result
+        # forever).  Cap every blocking wait so a wedged batch surfaces
+        # as a clear error instead of an indefinite hang; the bound must
+        # cover worst-case cold compiles (~2 min/shape, several shapes).
+        wd = float(os.environ.get("FASIM_WATCHDOG_S", "1800"))
+
+        def _result(fut, what: str):
+            from concurrent.futures import TimeoutError as FutTimeout
+
+            try:
+                return fut.result(timeout=wd)
+            except FutTimeout:
+                raise RuntimeError(
+                    f"scan watchdog: {what} made no progress for {wd:.0f}s"
+                    " — device/backend likely wedged; rerun (checkpointed"
+                    " runs resume via FASIM_CKPT)") from None
+
         def consume_oldest():
             stage_fut = inflight.popleft()
             done.append(stage_fut)
@@ -306,9 +324,9 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
             # pop completed stage batches (in order); block on the oldest
             # while more than min_keep are queued
             while done and (len(done) > min_keep or done[0].done()):
-                for w0, fut in done.popleft().result():
+                for w0, fut in _result(done.popleft(), "a device batch"):
                     with STAGES.timer("host_candidate_wait"):
-                        hits = fut.result()
+                        hits = _result(fut, "a host finalize task")
                     yield w0, hits
 
         # engines whose compiles are cheap (XLA-CPU) trim partial batches
