@@ -156,6 +156,8 @@ def main(argv: list[str] | None = None) -> int:
     from .scan.pipeline import scan_file
 
     p, tpu = parse_args(sys.argv[1:] if argv is None else argv)
+    if tpu.sim_device:
+        os.environ["FASIM_SIM_DEVICE"] = "1"
     engine_name = "Fasim" if p.do_fast_sim else "Sim"
     print(f"Searching triplexes using {engine_name}")
     profile = tpu.profile or os.environ.get("FASIM_PROFILE", "") not in ("",

@@ -76,6 +76,12 @@ class TpuConfig:
     # Streaming record reader for genome-scale inputs: "auto" streams
     # when the DNA file exceeds 32 MB; "on"/"off" force it.
     stream: str = "auto"
+    # -F only: run the SIM forward scan on the device (kernels/sim_dev)
+    # with host node-list replay.  Bit-identical (tests/test_sim.py);
+    # off by default because fetching the (score, start) matrices is
+    # link-bound through a slow tunnel — enable on direct-attached
+    # hardware.  Also honors env FASIM_SIM_DEVICE=1.
+    sim_device: bool = False
 
 
 # Alignment scoring constants shared by both engines
