@@ -44,3 +44,43 @@ def test_stream_matches_batched_multirecord():
     assert len(bat_t) == len(str_t) > 0
     for a, b in zip(bat_t, str_t):
         assert dataclasses.astuple(a) == dataclasses.astuple(b)
+
+
+def test_watchdog_raises_on_wedged_batch(monkeypatch):
+    """A batch whose device stage never completes surfaces as a clear
+    RuntimeError (FASIM_WATCHDOG_S), not an indefinite hang."""
+    import threading
+
+    import pytest
+
+    from fasim_tpu import rules
+
+    p = Params(file1path=os.path.join(ORACLE, "testDNA.fa"),
+               file2path=os.path.join(ORACLE, "H19.fa"))
+    _, rna = fasta.read_rna(p.file2path)
+    eng = XlaScanEngine(rna)
+    hang = threading.Event()
+
+    class WedgedEngine:
+        """Delegates setup to the real engine; the scan never returns."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def scan_segments(self, segs, lengths, full_prefix=False):
+            hang.wait(60)  # simulates a dropped device response
+            raise AssertionError("watchdog did not fire")
+
+    monkeypatch.setenv("FASIM_WATCHDOG_S", "2")
+    monkeypatch.setenv("FASIM_PREWARM", "0")
+    scans = rules.scan_list(0, 0)
+    work = [batched._Work(0, 0, rec.seq[:640])
+            for rec in fasta.read_dna(p.file1path)]
+    with pytest.raises(RuntimeError, match="watchdog"):
+        list(batched.iter_scan_work(p, rna, iter(work), scans,
+                                    WedgedEngine(eng), 640,
+                                    batch_pairs=1, max_inflight=1))
+    hang.set()
