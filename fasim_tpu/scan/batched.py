@@ -282,8 +282,14 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
                         segs, lengths, full_prefix=True)[0])
                     cm_cache["cm"] = np.asarray(cm_dev)
                 elif len(out) > 2:
-                    packed = (np.asarray(out[2]), np.asarray(out[3]),
-                              np.asarray(out[4]))
+                    # one device_get for all three arrays: three
+                    # sequential np.asarray calls pay three link round
+                    # trips each batch
+                    import jax
+
+                    packed = tuple(
+                        np.asarray(a)
+                        for a in jax.device_get((out[2], out[3], out[4])))
                 else:
                     cm_cache["cm"] = np.asarray(cm_dev)
             if use_windows:
