@@ -23,6 +23,7 @@
 #include <array>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <string>
@@ -427,6 +428,12 @@ long lt_finalize_pair(const int32_t* q_idx, long M, const int32_t* r_idx,
     // traceback error in a win that dedup discards can no longer
     // trigger the -3 full-pair rerun; such an error has never been
     // observed on any golden or random differential input.
+    // FASIM_EAGER_FINALIZE=1 converts every win eagerly (the original
+    // contract) to re-verify that claim on new datasets.
+    static const bool eager = [] {
+        const char* e = std::getenv("FASIM_EAGER_FINALIZE");
+        return e && e[0] == '1';
+    }();
     struct Conv {
         bool has = false;
         Cand c;
@@ -485,7 +492,11 @@ long lt_finalize_pair(const int32_t* q_idx, long M, const int32_t* r_idx,
         const std::array<int32_t, 5> key =
             {meta[0], meta[1], meta[2], meta[3], meta[4]};
         bool member;
-        if (nt_lo >= nt_min) {
+        if (eager) {
+            const Conv* cv = ensure(key);
+            if (!cv) return err == -1 ? -3 : -1;
+            member = cv->has;
+        } else if (nt_lo >= nt_min) {
             member = true;
         } else if (nt_hi < nt_min) {
             member = false;

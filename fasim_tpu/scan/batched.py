@@ -43,6 +43,20 @@ from ..io import fasta
 from ..profiling import STAGES
 from .pipeline import Triplex, _sim
 
+# glibc heap knobs for the long streamed runs: freed short-lived host
+# mirrors (colmax rows, packed candidates) otherwise keep RSS growing
+# (~33 MB per Mb of genome with live jax arrays flat).  The arena cap
+# must be applied BEFORE any worker thread exists — arenas created
+# earlier escape it — so it runs at module import, not inside the
+# driver (which already has compile/stage threads by then).
+try:
+    import ctypes
+
+    _LIBC = ctypes.CDLL("libc.so.6")
+    _LIBC.mallopt(-8, 4)  # M_ARENA_MAX
+except OSError:
+    _LIBC = None
+
 
 @dataclasses.dataclass
 class _Work:
@@ -357,19 +371,9 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
             inflight.append(stages.submit(
                 process_batch, batch, segs, lengths, eng, out))
 
-        # long streamed runs churn large short-lived host mirrors of
-        # device arrays (colmax rows, packed candidates); glibc keeps the
-        # freed chunks mapped, so RSS grows with input length (measured
-        # ~33 MB per Mb of genome with live jax arrays flat).  Return
-        # free heap to the OS every few batches.
-        try:
-            import ctypes
-
-            _libc = ctypes.CDLL("libc.so.6")
-            _libc.mallopt(-8, 4)  # M_ARENA_MAX: cap per-thread arenas
-        except OSError:
-            _libc = None
-
+        # (the M_ARENA_MAX cap is applied at module import, before any
+        # worker thread exists; here we only return free heap to the OS
+        # every few batches)
         nbatch = 0
         batch: list[_Work] = []
         for w in work_iter:
@@ -381,8 +385,8 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
             yield from drain_done(min_keep=host_backlog)
             dispatch(batch, nbatch)
             nbatch += 1
-            if _libc is not None and nbatch % 8 == 0:
-                _libc.malloc_trim(0)
+            if _LIBC is not None and nbatch % 8 == 0:
+                _LIBC.malloc_trim(0)
             batch = []
         if batch:
             if len(inflight) >= max_inflight:

@@ -25,19 +25,21 @@ import threading
 
 import numpy as np
 
-_WARMED: set = set()
-
-
 def prewarm_engines(engines, n_pad: int, batch_pairs: int,
                     windows: bool) -> None:
     """Launch compile warmers for every engine's static shapes."""
     for eng in engines:
         if not getattr(eng, "win_v2", False) or eng.interpret:
             continue  # Pallas TPU engine only; XLA-CPU compiles in sec
-        key = (id(eng), n_pad, batch_pairs)
-        if key in _WARMED:
+        key = (n_pad, batch_pairs)
+        # flag lives on the engine itself (an id()-keyed module set could
+        # alias a new engine after the old one is garbage-collected)
+        warmed = getattr(eng, "_prewarmed", None)
+        if warmed is None:
+            warmed = eng._prewarmed = set()
+        if key in warmed:
             continue
-        _WARMED.add(key)
+        warmed.add(key)
 
         def scan_job(eng=eng):
             segs = np.zeros((batch_pairs, n_pad), np.uint8)
