@@ -470,11 +470,12 @@ class TpuScanEngine:
         # so ~10 live (R, Mp) int32 arrays stay inside VMEM.
         self.win_sstart = m + 16
         self._qwin2 = {}
+        self._qwin3 = {}
         self._win_R = {}
         for fwin in (64, 128, 256):
             Mp = _round_up(self.win_sstart + fwin, 128)
             r = 256
-            while r > 8 and 40 * r * Mp > 112 * 2 ** 20:
+            while r > 8 and 48 * r * Mp > 112 * 2 ** 20:
                 r //= 2
             self._win_R[fwin] = r
             for rev in (False, True):
@@ -482,6 +483,21 @@ class TpuScanEngine:
                 q = np.full((1, Mp), 127, np.int32)
                 q[0, :m] = SSW_ENC[arr]
                 self._qwin2[(bool(rev), fwin)] = self._put(q)
+            # v3 fwd-specialized query rows: [q, hi, lo, fbias-sentinel]
+            qp = np.zeros((4, Mp), np.int32)
+            qp[0, :m] = SSW_ENC[rna]
+            qp[0, m:] = 127
+            qp[1, :m] = np.where(qp[0, :m] < 4, 5, -4)
+            qp[2, :m] = -4
+            idx = np.arange(Mp)
+            qp[3] = np.where(idx < self.win_sstart, idx * GAP_EXTEND,
+                             _NEG)
+            self._qwin3[fwin] = self._put(qp)
+        # v3 serves the uniform production forward dispatches; v2 keeps
+        # the reverse pass (terminate semantics need per-column stats)
+        # and the generic offs/terms/mreals test interface
+        self.win_v3 = os.environ.get("FASIM_WIN_V3", "1") == "1"
+        self.n_v3_calls = 0
         # (the window DP stays int32: v5e Mosaic has no packed int16
         # vector ALU, and the stats key packing needs 32-bit range)
 
@@ -589,6 +605,12 @@ class TpuScanEngine:
         if rows == 0:
             return np.zeros((0, 3), np.int32)
         v2 = self.win_v2
+        if (v2 and not rev and getattr(self, "win_v3", False)
+                and (spec["offs"] == 0).all()
+                and (spec["terms"] == -1).all()
+                and (spec["mreals"] == self.m16).all()
+                and (spec["dirn"] == 1).all()):
+            return self._window_pass_specs_fwd(segs, lengths, spec)
         if not v2:
             qc = self.qwin_rev if rev else self.qwin_fwd
         lut_s, _, is_tr = self._scan_luts
@@ -664,8 +686,57 @@ class TpuScanEngine:
                 pending.append((idx, dev, take))
                 lo += take
         out = np.zeros((rows, 3), np.int32)
-        for idx, dev, take in pending:
-            out[idx] = np.asarray(dev)[:take]
+        # one device_get for every part: per-part np.asarray would pay
+        # one link round trip each (~tens of ms under the tunnel)
+        fetched = jax.device_get([dev for _, dev, _ in pending])
+        for (idx, _, take), arr in zip(pending, fetched):
+            out[idx] = arr[:take]
+        return out
+
+    def _window_pass_specs_fwd(self, segs: np.ndarray,
+                               lengths: np.ndarray, spec: dict
+                               ) -> np.ndarray:
+        """Uniform forward dispatches via the v3 per-lane kernel (same
+        class partition / fixed-chunk dispatch as the v2 path; all
+        parts dispatch async before any result is forced)."""
+        self.n_v3_calls += 1
+        rows = len(spec["seg_idx"])
+        lut_s, _, is_tr = self._scan_luts
+        segs_d = self._put(segs)
+        lens_d = self._put(np.asarray(lengths, np.int32))
+        rl = spec["rlens"]
+        widths = sorted(_WCLASSES)
+        klass = np.full(len(rl), _WWIN)
+        for w in reversed(widths):
+            klass = np.where(rl <= w, w, klass)
+        pending = []
+        for w in widths:
+            sel = np.flatnonzero(klass == w)
+            if not len(sel):
+                continue
+            bsz = self.WIN_BUCKETS[w][0]
+            lo = 0
+            while lo < len(sel):
+                take = min(len(sel) - lo, bsz)
+                idx = sel[lo:lo + take]
+                part = {}
+                for k in ("seg_idx", "scan_idx", "base", "rlens"):
+                    a = np.zeros(bsz, np.int32)
+                    a[:take] = spec[k][idx]
+                    part[k] = self._put(a)
+                wcols, fwin = _WCLASSES[w]
+                dev = _wspecs_fwd_call(
+                    segs_d, lens_d, lut_s, is_tr, self._qwin3[fwin],
+                    part["seg_idx"], part["scan_idx"], part["base"],
+                    part["rlens"], m=self.m, m16=self.m16, wcols=wcols,
+                    fwin=fwin, R=self._win_R[fwin],
+                    interpret=self.interpret)
+                pending.append((idx, dev, take))
+                lo += take
+        out = np.zeros((rows, 3), np.int32)
+        fetched = jax.device_get([dev for _, dev, _ in pending])
+        for (idx, _, take), arr in zip(pending, fetched):
+            out[idx] = arr[:take]
         return out
 
 
@@ -1451,7 +1522,9 @@ def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,
     idx1 = iota >= 1
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, _CHUNK), 1)
 
-    def one(j, chunk, cmacc):
+    full_steps = max(1, fwin.bit_length() - 1)  # fwin is a power of two
+
+    def one(j, chunk, cmacc, nsteps=full_steps):
         code = chunk[:, 0:1]
         s = jnp.where(code == q, hi, lo)
         hp = h_ref[:]
@@ -1459,13 +1532,16 @@ def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,
         ev = jnp.maximum(ep - ge, hp - go)
         diag = jnp.where(idx1, pltpu.roll(hp, shift=1, axis=1), 0)
         tmp = jnp.maximum(jnp.maximum(diag + s, ev), 0)
-        run = tmp + fbias
-        k = 1
-        while k < fwin:
-            run = jnp.maximum(run, pltpu.roll(run, shift=k, axis=1))
-            k *= 2
-        fv = pltpu.roll(run, shift=1, axis=1) - foff
-        hn = jnp.maximum(tmp, fv)
+        if nsteps > 0:
+            run = tmp + fbias
+            k = 1
+            for _ in range(nsteps):
+                run = jnp.maximum(run, pltpu.roll(run, shift=k, axis=1))
+                k *= 2
+            fv = pltpu.roll(run, shift=1, axis=1) - foff
+            hn = jnp.maximum(tmp, fv)
+        else:
+            hn = tmp
         h_ref[:] = hn
         e_ref[:] = ev
         key = jnp.max((hn << _KT_BITS) + kmask, axis=1, keepdims=True)
@@ -1474,6 +1550,8 @@ def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,
         return chunk, cmacc
 
     nloop = min(wcols, _CHUNK)
+    ck = codes_ref[0].astype(jnp.int32)
+    cmacc0 = jnp.zeros((R, _CHUNK), jnp.int32)
     if step2:
         def col(j2, carry):
             chunk, cmacc = carry
@@ -1481,16 +1559,26 @@ def _wscan_kernel(qrow_ref, codes_ref, rmeta_ref, out_ref, h_ref, e_ref,
             chunk, cmacc = one(2 * j2 + 1, chunk, cmacc)
             return chunk, cmacc
 
-        steps = nloop // 2
+        _, cmacc = jax.lax.fori_loop(0, nloop // 2, col, (ck, cmacc0),
+                                     unroll=1)
+    elif wcols <= _CHUNK:
+        # single-chunk classes get the column-phased prefix depth (see
+        # _fwd_phases: H <= 5*(j+1) bounds the needed coverage; valid
+        # for ANY window DP of this scoring scheme, fwd or rev)
+        carry = (ck, cmacc0)
+        for lo_, hi_, ns in _fwd_phases(wcols):
+            def col(j, carry, base=lo_, ns=ns):
+                chunk, cmacc = carry
+                return one(jnp.int32(base) + j, chunk, cmacc, ns)
+
+            carry = jax.lax.fori_loop(0, hi_ - lo_, col, carry, unroll=1)
+        _, cmacc = carry
     else:
         def col(j, carry):
             return one(j, *carry)
 
-        steps = nloop
-    ck = codes_ref[0].astype(jnp.int32)
-    cmacc0 = jnp.zeros((R, _CHUNK), jnp.int32)
-    _, cmacc = jax.lax.fori_loop(0, steps, col, (ck, cmacc0),
-                                 unroll=1)
+        _, cmacc = jax.lax.fori_loop(0, nloop, col, (ck, cmacc0),
+                                     unroll=1)
     out_ref[0] = cmacc
 
 
@@ -1582,6 +1670,215 @@ def _wspecs_call(segs, lengths, lut_s, is_tr, qrow, seg_idx, scan_idx,
     mk = jnp.concatenate(parts, axis=0)
     mx, mrow = _decode_key(mk.reshape(rows, Wp))
     return _ends_from_stats(mx, mrow, terms, rlens, m)
+
+
+# --- candidate-window pass, v3: forward-specialized per-lane kernel ---------
+#
+# Every PRODUCTION forward window dispatch is uniform: off == 0, mreal ==
+# m16, terminate == -1, dirn == +1 (scan/candidates.py fwd_specs).  That
+# admits two structural cuts over the v2 kernel, worth ~1.4x on the
+# dominant pass of the MEG3 budget (fwd windows were 8.2 s of ~20.3 s
+# serialized device time in round 4):
+#
+#   * **Per-lane stats instead of per-column stats.**  The fwd ends
+#     reduction needs (best, first column attaining it, lowest query row
+#     at that column).  v2 pays a full cross-lane reduce + select-emit
+#     per window column to record per-column (colmax, first row); v3
+#     instead accumulates per query LANE the key
+#         key_i = max over columns j of (H(i, j) << 8 | (255 - j))
+#     — 3 vector ops (shift, add, max) per column, no reduce — and
+#     recovers the ends in an XLA epilogue: best = max_i H_i; end_col =
+#     min col over lanes attaining best (a lane's recorded column is the
+#     EARLIEST attaining its own max, so lanes attaining the global best
+#     record exactly the earliest global column); end_row = lowest lane
+#     with (H == best, col == end_col).  Equivalent to v2's reduction:
+#     a lane attains best at end_col iff its max == best and its earliest
+#     column == end_col (an earlier attainment would contradict end_col's
+#     global minimality).  Pad window columns (>= rlen, code 4) can never
+#     attain the max: every path through an all-mismatch column scores
+#     strictly below its source cells, so no rlens gate is needed.
+#
+#   * **Column-phased gap-prefix depth.**  A path ending at window
+#     column j (0-based) has <= j+1 diagonal steps, so H <= 5*min(j+1,
+#     196) (cutlength <= 196, see WPAD) and the vertical-gap prefix max
+#     at column j only needs to cover d lanes with 5*min(j+1, 196) -
+#     GAP_OPEN - (d-1)*GAP_EXTEND > 0.  The column loop splits into
+#     static phases of doubling prefix depth (1..8 steps) instead of
+#     paying the class maximum on every column (~25% fewer prefix ops).
+#
+# Key fits easily: H <= 5*196 = 980 < 2^11, columns < 2^8 -> 19 bits.
+# Emulates the forward end-finding pass (sswNew.cpp:1472-1505); the
+# reverse pass (terminate semantics need per-column stats) stays on v2.
+
+
+def _fwd_phases(wcols: int) -> tuple:
+    """Static (start, stop, prefix_steps) column phases (see above);
+    short phases merge into the following deeper one."""
+    raw = []
+    for j in range(wcols):
+        b = 5 * min(j + 1, 196)
+        cov = (b - GAP_OPEN) // GAP_EXTEND + 1
+        s = 0
+        while (1 << s) < cov:
+            s += 1
+        if raw and raw[-1][2] == s:
+            raw[-1][1] = j + 1
+        else:
+            raw.append([j, j + 1, s])
+    # forward-merge any span < 4 into its successor (more coverage than
+    # needed is always exact)
+    out: list[tuple] = []
+    pending_start = None
+    for i, (lo_, hi_, s) in enumerate(raw):
+        start = lo_ if pending_start is None else pending_start
+        if hi_ - start < 4 and i + 1 < len(raw):
+            pending_start = start
+            continue
+        out.append((start, hi_, s))
+        pending_start = None
+    return tuple(out)
+
+
+def _wfwd_kernel(qp_ref, codes_ref, out_ref, h_ref, e_ref, k_ref, *,
+                 wcols: int, phases: tuple):
+    """One row-batch of the fwd window pass.  qp rows: [q codes (pad
+    127), hi, lo, fbias-with-sentinel]; codes (1, R, Wp) uint8 window
+    columns (roll-carried, no 128-column grid chunking — wcols <= 256);
+    out (1, R, Mp) per-lane stats keys."""
+    R, Mp = h_ref.shape
+    Wp = codes_ref.shape[2]
+    go = jnp.int32(GAP_OPEN)
+    ge = jnp.int32(GAP_EXTEND)
+    h_ref[:] = jnp.zeros_like(h_ref)
+    e_ref[:] = jnp.zeros_like(e_ref)
+    k_ref[:] = jnp.zeros_like(k_ref)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, Mp), 1)
+    q = qp_ref[0:1, :]
+    hi = qp_ref[1:2, :]
+    lo = qp_ref[2:3, :]
+    fbias = qp_ref[3:4, :]
+    foff = go + (iota - 1) * ge
+    idx1 = iota >= 1
+
+    def mkcol(base: int, nsteps: int):
+        def col(jj, chunk):
+            code = chunk[:, 0:1]
+            s = jnp.where(code == q, hi, lo)
+            hp = h_ref[:]
+            ep = e_ref[:]
+            ev = jnp.maximum(ep - ge, hp - go)
+            diag = jnp.where(idx1, pltpu.roll(hp, shift=1, axis=1), 0)
+            tmp = jnp.maximum(jnp.maximum(diag + s, ev), 0)
+            if nsteps > 0:
+                run = tmp + fbias
+                k = 1
+                for _ in range(nsteps):
+                    run = jnp.maximum(run,
+                                      pltpu.roll(run, shift=k, axis=1))
+                    k *= 2
+                fv = pltpu.roll(run, shift=1, axis=1) - foff
+                hn = jnp.maximum(tmp, fv)
+            else:
+                hn = tmp  # H <= 5*(j+1) < go + ge: F can't beat 0 yet
+            h_ref[:] = hn
+            e_ref[:] = ev
+            cj = jnp.int32(255) - (jnp.int32(base) + jj)
+            k_ref[:] = jnp.maximum(k_ref[:], (hn << 8) + cj)
+            return pltpu.roll(chunk, shift=Wp - 1, axis=1)
+
+        return col
+
+    chunk = codes_ref[0].astype(jnp.int32)
+    for lo_, hi_, ns in phases:
+        chunk = jax.lax.fori_loop(0, hi_ - lo_, mkcol(lo_, ns), chunk)
+    out_ref[0] = k_ref[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("wcols", "fwin", "interpret"))
+def _wfwd_call(codes, qp, *, wcols: int, fwin: int,
+               interpret: bool = False):
+    """codes uint8[G, R, Wp]; qp int32[4, Mp] -> keys int32[G, R, Mp]."""
+    G, R, Wp = codes.shape
+    Mp = qp.shape[1]
+    kernel = functools.partial(_wfwd_kernel, wcols=wcols,
+                               phases=_fwd_phases(wcols))
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((4, Mp), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, Wp), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, Mp), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, R, Mp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((R, Mp), jnp.int32),
+            pltpu.VMEM((R, Mp), jnp.int32),
+            pltpu.VMEM((R, Mp), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(112 * 2 ** 20,
+                                 max(32 * 2 ** 20, 48 * R * Mp))),
+        interpret=interpret,
+    )(qp, codes)
+
+
+def _ends_from_lane_keys(keys, m: int, m16: int):
+    """Per-lane fwd stats keys (rows, Mp) -> (best, end_col, end_row)
+    int32[rows, 3]; see the v3 module comment for the equivalence
+    argument."""
+    Mp = keys.shape[1]
+    lanes = jnp.arange(Mp, dtype=jnp.int32)[None, :]
+    h = keys >> 8
+    col = jnp.int32(255) - (keys & jnp.int32(255))
+    hv = jnp.where(lanes < m16, h, -1)
+    best = hv.max(axis=1)
+    big = jnp.int32(1 << 30)
+    atb = hv == best[:, None]
+    ecol = jnp.where(atb, col, big).min(axis=1)
+    erow = jnp.where(atb & (col == ecol[:, None]), lanes, big).min(axis=1)
+    none = best <= 0
+    return jnp.stack([best, jnp.where(none, -1, ecol),
+                      jnp.where(none, m - 1, erow)], axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "m16", "wcols", "fwin", "R",
+                                    "interpret"))
+def _wspecs_fwd_call(segs, lengths, lut_s, is_tr, qp, seg_idx, scan_idx,
+                     base, rlens, *, m: int, m16: int, wcols: int,
+                     fwin: int, R: int, interpret: bool = False):
+    """Device-side window build + v3 fwd pass + ends epilogue (the
+    forward-specialized analogue of _wspecs_call; output contract
+    identical: int32[rows, 3] (best, end_col, end_row))."""
+    S, N = segs.shape
+    rows = seg_idx.shape[0]
+    Wp = max(_CHUNK, wcols)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    ridx = jnp.where(pos[None, :] < lengths[:, None],
+                     lengths[:, None] - 1 - pos[None, :], pos[None, :])
+    segs_rev = jnp.take_along_axis(segs, ridx, axis=1)
+    both = jnp.stack([segs, segs_rev]).reshape(-1)
+    li = jnp.arange(Wp, dtype=jnp.int32)[None, :]
+    p = jnp.clip(base[:, None] + li, 0, N - 1)  # dirn == +1 always
+    segsel = jnp.where(is_tr[scan_idx], 1, 0).astype(jnp.int32)
+    byte = both[(segsel[:, None] * S + seg_idx[:, None]) * N + p]
+    code = lut_s[scan_idx[:, None], byte.astype(jnp.int32)]
+    code = jnp.where(li < rlens[:, None], code.astype(jnp.int32),
+                     4).astype(jnp.uint8)
+    G_all = rows // R
+    CG = min(_WCG, G_all)
+    step = CG * R
+    parts = []
+    for lo in range(0, rows, step):
+        keys = _wfwd_call(code[lo:lo + step].reshape(CG, R, Wp), qp,
+                          wcols=wcols, fwin=fwin, interpret=interpret)
+        parts.append(_ends_from_lane_keys(keys.reshape(step, -1), m, m16))
+    return jnp.concatenate(parts, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "subw", "interpret"))

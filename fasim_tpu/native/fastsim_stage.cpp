@@ -450,13 +450,41 @@ long lt_finalize_pair(const int32_t* q_idx, long M, const int32_t* r_idx,
         int32_t meta[5] = {key[0], key[1], key[2], key[3], key[4]};
         const long rb = meta[1], re = meta[2], qb = meta[3], qe = meta[4];
         const long ref_len = re - rb + 1, read_len = qe - qb + 1;
-        long bw = ref_len - read_len;
-        if (bw < 0) bw = -bw;
-        bw += 1;
-        const long ncig =
-            fasim::banded(r_idx + rb, ref_len, q_idx + qb, read_len,
-                          meta[0], go, ge, bw, mat, mat_dim,
-                          cig_len.data(), cig_op.data(), cig_cap);
+        long ncig;
+        int64_t s0 = -1;
+        if (ref_len == read_len) {
+            // Gap-free fast path: when the pure-diagonal score of the
+            // begin..end rectangle equals the alignment score, banded()
+            // provably emits exactly [ref_len, 'M'] and can be skipped.
+            // Proof sketch (ties prefer the diagonal, align_core.h
+            // banded(): dcode = t1 <= t2 ? 1 : ...): the forward pass
+            // guarantees no local alignment inside the rectangle scores
+            // above `score`, so with s0 == score every diagonal prefix
+            // P(k) >= 0 and every diagonal cell has h(k,k) == P(k)
+            // (<= from remaining-diagonal completion vs the score
+            // bound, >= from the diagonal DP chain); hence t1 =
+            // max(e1,f1) <= h(k,k) = t2 at every diagonal cell and the
+            // traceback from the corner walks pure diagonal.  The
+            // initial band (width 1) contains the diagonal, so no band
+            // doubling or re-run occurs either.  Catches every
+            // gap-free win (the common case) at O(len) cost.
+            s0 = 0;
+            for (long k = 0; k < ref_len; k++)
+                s0 += mat[r_idx[rb + k] * mat_dim + q_idx[qb + k]];
+        }
+        if (s0 == (int64_t)meta[0]) {
+            cig_len[0] = (int32_t)ref_len;
+            cig_op[0] = 'M';
+            ncig = 1;
+        } else {
+            long bw = ref_len - read_len;
+            if (bw < 0) bw = -bw;
+            bw += 1;
+            ncig =
+                fasim::banded(r_idx + rb, ref_len, q_idx + qb, read_len,
+                              meta[0], go, ge, bw, mat, mat_dim,
+                              cig_len.data(), cig_op.data(), cig_cap);
+        }
         if (ncig < 0) {
             err = ncig;  // -1 traceback error, -2 overflow
             return nullptr;

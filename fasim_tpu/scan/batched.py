@@ -296,14 +296,27 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
                         segs, lengths, full_prefix=True)[0])
                     cm_cache["cm"] = np.asarray(cm_dev)
                 elif len(out) > 2:
-                    # one device_get for all three arrays: three
-                    # sequential np.asarray calls pay three link round
-                    # trips each batch
+                    # count-then-slice fetch: the counts (few KB) come
+                    # first, then only the first kp <= PACK_K candidate
+                    # columns cross the link (kp = the batch's max count
+                    # rounded up a small ladder, so the slice compiles a
+                    # handful of shapes).  Rows with cnt > kp (> PACK_K
+                    # only, since kp >= min(max cnt, PACK_K)) keep the
+                    # full-row overflow fallback in candidates.py, which
+                    # reads kp from packed[0].shape[2].
                     import jax
 
-                    packed = tuple(
-                        np.asarray(a)
-                        for a in jax.device_get((out[2], out[3], out[4])))
+                    cnt = np.asarray(out[4])
+                    kfull = out[2].shape[2]
+                    kmax = min(int(cnt.max(initial=0)), kfull)
+                    kp = next((b for b in (32, 64, 128, 256)
+                               if b >= kmax), kfull)
+                    if kp < kfull:
+                        pos, val = jax.device_get(
+                            (out[2][:, :, :kp], out[3][:, :, :kp]))
+                    else:
+                        pos, val = jax.device_get((out[2], out[3]))
+                    packed = (np.asarray(pos), np.asarray(val), cnt)
                 else:
                     cm_cache["cm"] = np.asarray(cm_dev)
             if use_windows:

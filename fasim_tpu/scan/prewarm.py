@@ -69,8 +69,11 @@ def prewarm_engines(engines, n_pad: int, batch_pairs: int,
                     }
                     segs = np.zeros((batch_pairs, n_pad), np.uint8)
                     lengths = np.full(batch_pairs, 128, np.int32)
-                    # rev shares the compile (same shapes/dtypes)
+                    # the uniform spec above routes rev=False through
+                    # the v3 fwd kernel; rev=True compiles the v2
+                    # kernel (they no longer share a Mosaic program)
                     eng.window_pass_specs(segs, lengths, spec, rev=False)
+                    eng.window_pass_specs(segs, lengths, spec, rev=True)
                 return job
 
             jobs += [win_job(w) for w in sorted(_WCLASSES)]

@@ -291,3 +291,63 @@ def test_align_chain_matches_align_window_py(rng):
             assert got.cigar == golden.cigar
             n_checked += 1
     assert n_checked >= 10
+
+
+def test_window_pass_specs_fwd_v3(rng):
+    """The v3 forward-specialized per-lane kernel == XLA == the v2
+    per-column kernel on uniform production forward specs, across all
+    width classes."""
+    from fasim_tpu.kernels.tpu import TpuScanEngine, _WCLASSES
+
+    m = 131
+    m16 = _ru(m, 16)
+    rna = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, m)]
+    scans = rules.scan_list(0, 0)
+    xla = XlaScanEngine(rna)
+    xla.setup_scans(scans)
+    xla.setup_windows(rna)
+    tpu = TpuScanEngine(rna, interpret=True)
+    tpu.setup_scans(scans)
+    tpu.setup_windows(rna)
+    assert tpu.win_v3
+    # small buckets keep interpret-mode runtime sane; rows pad to R
+    R = 16
+    tpu._win_R = {k: R for k in tpu._win_R}
+    tpu.WIN_BUCKETS = {w: (R,) + v[1:]
+                       for w, v in tpu.WIN_BUCKETS.items()}
+    S, N = 3, 512
+    segs = np.zeros((S, N), np.uint8)
+    lens = np.array([512, 301, 77], np.int32)
+    for i in range(S):
+        segs[i, :lens[i]] = np.frombuffer(b"ACGTN", np.uint8)[
+            rng.integers(0, 5, lens[i])]
+    rows = 11
+    # one spec batch per width class, incl. the 196 production maximum
+    for wmax in sorted(_WCLASSES):
+        wlo = max(4, wmax // 2 + 1)
+        whi = min(wmax, 196)
+        spec = {
+            "seg_idx": rng.integers(0, S, rows).astype(np.int32),
+            "scan_idx": rng.integers(0, len(scans), rows).astype(np.int32),
+            "dirn": np.ones(rows, np.int32),
+            "rlens": rng.integers(wlo, whi + 1, rows).astype(np.int32),
+            "offs": np.zeros(rows, np.int32),
+            "terms": np.full(rows, -1, np.int32),
+            "mreals": np.full(rows, m16, np.int32),
+        }
+        base = np.empty(rows, np.int32)
+        for r in range(rows):
+            n = lens[spec["seg_idx"][r]]
+            w = min(int(spec["rlens"][r]), int(n))
+            spec["rlens"][r] = w
+            base[r] = rng.integers(0, n - w + 1)
+        spec["base"] = base
+        a = np.asarray(xla.window_pass_specs(segs, lens, spec, rev=False))
+        n0 = tpu.n_v3_calls
+        b = tpu.window_pass_specs(segs, lens, spec, rev=False)
+        assert tpu.n_v3_calls == n0 + 1  # the v3 path actually ran
+        np.testing.assert_array_equal(a, b)
+        tpu.win_v3 = False
+        c = tpu.window_pass_specs(segs, lens, spec, rev=False)
+        tpu.win_v3 = True
+        np.testing.assert_array_equal(a, c)
