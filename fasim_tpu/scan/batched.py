@@ -58,6 +58,22 @@ except OSError:
     _LIBC = None
 
 
+_SIM_POOL = None
+
+
+def _sim_pool() -> ThreadPoolExecutor:
+    """Shared executor for the exact-SIM (-F) pair fan-out; the native
+    scan releases the GIL, so pairs run truly concurrently.  Module
+    level (not per segment) so total concurrency stays bounded at the
+    core count even when several segments are in flight."""
+    global _SIM_POOL
+    if _SIM_POOL is None:
+        _SIM_POOL = ThreadPoolExecutor(
+            max_workers=max(1, os.cpu_count() or 1),
+            thread_name_prefix="fasim-sim")
+    return _SIM_POOL
+
+
 @dataclasses.dataclass
 class _Work:
     """One (record, segment) pair queued for the device scan."""
@@ -167,10 +183,22 @@ def _host_segment_stage_inner(p: Params, rna: np.ndarray, q_idx: np.ndarray,
                             identity=f32_(ident), tri_score=f32_(tri),
                             stri_align=ri, strj_align=rj))
             return found
-        for k, scan in enumerate(scans):
+        # the 48 (segment, transform) pairs are fully independent (each
+        # owns its node list / used-cell state, sim.h:410-1143); run
+        # them across cores and concatenate in scan order — the
+        # reference's iteration order, so output is bit-identical.
+        # The reference runs this loop on one core (SURVEY §2.b).
+        def one(k):
+            scan = scans[k]
             min_score = int(int(gm_row[k]) * 0.8)
+            part: list[Triplex] = []
             _sim(rna, pairs[k][0], pairs[k][1], w.start, min_score,
-                 scan["strand"], scan["para"], scan["rule"], p, found)
+                 scan["strand"], scan["para"], scan["rule"], p, part)
+            return part
+
+        ex = _sim_pool()
+        for part in ex.map(one, range(len(scans))):
+            found.extend(part)
         return found
     seg = w.segment
     srcs = [seg, rules.reverse(rules.complement(seg)),
