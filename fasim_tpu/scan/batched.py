@@ -33,6 +33,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import os
+import tempfile
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -448,13 +449,10 @@ def corenum_buckets(n: int) -> list[list[Triplex]]:
     return [[] for _ in range(max(1, n))]
 
 
-def finalize_record_into(buckets: list[list[Triplex]], p: Params, ri: int,
-                         rec, lst: list[Triplex]) -> None:
+def filter_fix_record(p: Params, rec, lst: list[Triplex]) -> list[Triplex]:
     """Final per-record filter (Fasim-LongTarget.cpp:589-597) +
-    genome-coordinate fixup (main:141-149) + `-C` bucket append for one
-    record's hits.  The single implementation shared by the batched,
-    streaming and distributed drivers (their outputs must stay
-    bit-identical); rec needs only .chro_tag / .start_genome."""
+    genome-coordinate fixup (main:141-149) for one record's hits; rec
+    needs only .chro_tag / .start_genome."""
     f32 = np.float32
     lst = [t for t in lst
            if (t.score >= f32(p.score_min)
@@ -466,7 +464,15 @@ def finalize_record_into(buckets: list[list[Triplex]], p: Params, ri: int,
             t.chr = rec.chro_tag
             t.genomestart = t.starj + rec.start_genome - 1
             t.genomeend = t.endj + rec.start_genome - 1
-    buckets[ri % len(buckets)].extend(lst)
+    return lst
+
+
+def finalize_record_into(buckets: list[list[Triplex]], p: Params, ri: int,
+                         rec, lst: list[Triplex]) -> None:
+    """filter_fix_record + `-C` bucket append — the single
+    implementation shared by the batched, streaming and distributed
+    drivers (their outputs must stay bit-identical)."""
+    buckets[ri % len(buckets)].extend(filter_fix_record(p, rec, lst))
 
 
 def finalize_records(p: Params, records, per_record: list[list[Triplex]]
@@ -500,13 +506,20 @@ class RecordMeta:
 
 
 def scan_file_stream(p: Params, engine, batch_pairs: int = 64,
-                     host_threads: int = 0, max_inflight: int = 8):
+                     host_threads: int = 0, max_inflight: int = 8,
+                     spill_dir: str | None = None):
     """Genome-scale streaming scan: records read lazily (one in memory at
     a time), segments flow through the bounded-window driver, and each
     record's hits are filtered + coordinate-fixed as soon as the record
-    completes.  Memory is O(dispatch window + current record), not
-    O(genome).  Returns (record_metas, lnc_name, rna, all_triplexes) —
-    bit-identical triplexes to scan_file_batched on the same input."""
+    completes, then appended to a columnar TriplexStore (numeric columns
+    in RAM at ~60 B/hit; with `spill_dir` set — default TMPDIR — the
+    alignment strings spill to disk until TFOsorted-write time).  Memory
+    is O(dispatch window + current record + numeric hit columns), not
+    O(genome).  Returns (record_metas, lnc_name, rna, store) — the store
+    yields byte-identical output files to scan_file_batched's list via
+    post.store.print_result_store (tests/test_store.py)."""
+    from ..post.store import TriplexStore
+
     lnc_name, rna = fasta.read_rna(p.file2path)
     metas: list[RecordMeta] = []
 
@@ -523,10 +536,15 @@ def scan_file_stream(p: Params, engine, batch_pairs: int = 64,
 
     scans = rules.scan_list(p.rule, p.strand)
     n_pad = (p.cut_length + 127) // 128 * 128
-    buckets = corenum_buckets(p.corenum)
+    nbuckets = max(1, p.corenum)
+    if spill_dir is None:
+        spill_dir = os.environ.get("FASIM_SPILL_DIR",
+                                   tempfile.gettempdir())
+    store = TriplexStore(spill_dir=spill_dir or None)
 
     def flush(ri: int, lst: list[Triplex]) -> None:
-        finalize_record_into(buckets, p, ri, metas[ri], lst)
+        store.add_record(ri % nbuckets, metas[ri].chro_tag,
+                         filter_fix_record(p, metas[ri], lst))
 
     cur_ri = -1
     cur: list[Triplex] = []
@@ -541,4 +559,4 @@ def scan_file_stream(p: Params, engine, batch_pairs: int = 64,
         cur.extend(found)
     if cur_ri >= 0:
         flush(cur_ri, cur)
-    return metas, lnc_name, rna, [t for b in buckets for t in b]
+    return metas, lnc_name, rna, store.finalize()

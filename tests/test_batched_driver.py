@@ -25,25 +25,45 @@ def test_batched_scan_matches_sequential():
         assert dataclasses.astuple(a) == dataclasses.astuple(b)
 
 
-def test_stream_matches_batched_multirecord():
-    """Streaming (lazy-record) scan == list scan on multi-record input,
-    including record metadata used for output headers."""
-    p = Params(file1path=os.path.join(ORACLE, "meg3sub3.fa"),
-               file2path=os.path.join(ORACLE, "MEG3.fa"))
-    from fasim_tpu.io import fasta
+def test_stream_matches_batched_multirecord(tmp_path, monkeypatch):
+    """Streaming (lazy-record, columnar spill store) scan == list scan
+    on multi-record input: record metadata AND every output file byte-
+    identical through the full cluster/print path, with and without the
+    -C bucket permutation."""
+    from fasim_tpu.post.output import print_result
 
-    _, rna = fasta.read_rna(p.file2path)
-    eng = XlaScanEngine(rna)
-    recs, _, _, bat_t = batched.scan_file_batched(p, eng, batch_pairs=3)
-    eng2 = XlaScanEngine(rna)
-    metas, _, _, str_t = batched.scan_file_stream(p, eng2, batch_pairs=3)
-    assert len(metas) == len(recs)
-    for m, r in zip(metas, recs):
-        assert (m.species, m.chro_tag, m.start_genome, m.seq_len) == (
-            r.species, r.chro_tag, r.start_genome, len(r.seq))
-    assert len(bat_t) == len(str_t) > 0
-    for a, b in zip(bat_t, str_t):
-        assert dataclasses.astuple(a) == dataclasses.astuple(b)
+    monkeypatch.chdir(ORACLE)  # output names embed the -f1 path
+    for corenum in (1, 3):
+        p = Params(file1path="meg3sub3.fa",
+                   file2path=os.path.join(ORACLE, "MEG3.fa"),
+                   outpath=str(tmp_path / f"b{corenum}"),
+                   corenum=corenum)
+        os.makedirs(p.outpath, exist_ok=True)
+        _, rna = fasta.read_rna(p.file2path)
+        eng = XlaScanEngine(rna)
+        recs, lnc, _, bat_t = batched.scan_file_batched(
+            p, eng, batch_pairs=3)
+        path_b = print_result(p, recs[0].species, lnc, bat_t,
+                              recs[0].chro_tag, len(recs[0].seq),
+                              recs[0].start_genome)
+        eng2 = XlaScanEngine(rna)
+        p2 = dataclasses.replace(p, outpath=str(tmp_path / f"s{corenum}"))
+        os.makedirs(p2.outpath, exist_ok=True)
+        metas, lnc2, _, store = batched.scan_file_stream(
+            p2, eng2, batch_pairs=3, spill_dir=str(tmp_path / "spill"))
+        assert len(metas) == len(recs)
+        for m, r in zip(metas, recs):
+            assert (m.species, m.chro_tag, m.start_genome, m.seq_len) == (
+                r.species, r.chro_tag, r.start_genome, len(r.seq))
+        assert len(store) == len(bat_t) > 0
+        path_s = print_result(p2, metas[0].species, lnc2, store,
+                              metas[0].chro_tag, metas[0].seq_len,
+                              metas[0].start_genome)
+        for f in sorted(os.listdir(p.outpath)):
+            with open(os.path.join(p.outpath, f), "rb") as fa, \
+                    open(os.path.join(p2.outpath, f), "rb") as fb:
+                assert fa.read() == fb.read(), (corenum, f)
+        assert os.path.basename(path_b) == os.path.basename(path_s)
 
 
 def test_watchdog_raises_on_wedged_batch(monkeypatch):
