@@ -70,30 +70,28 @@ def bench_kernel(eng, rna, seg):
 
 
 def bench_window(eng, rna):
-    """Pure device rate of the window kernel (inputs resident, sync via
-    a 1-element fetch).  The old version re-uploaded ~3 MB per call and
-    measured the host link, not the kernel."""
+    """Pure device rate of the PRODUCTION forward window kernel (v3,
+    64-lane class — the dominant dispatch) on resident inputs, sync via
+    a 1-element fetch.  (A microbench that re-uploads MBs per call
+    measures the host link, not the kernel.)"""
     import jax
 
     from fasim_tpu.kernels import tpu as ktpu
 
     rng = np.random.default_rng(0)
-    rows, w = 4096, 197
+    w = 64
     m = len(rna)
-    wcols, fwin = ktpu._WCLASSES[ktpu._WWIN]
+    wcols, fwin = ktpu._WCLASSES[w]
     R = eng._win_R[fwin]
+    rows = 16 * R
     G = rows // R
-    codes = rng.integers(0, 5, (G, R, ktpu._WWIN)).astype(np.uint8)
+    codes = rng.integers(0, 5, (G, R, max(128, wcols))).astype(np.uint8)
     codes[:, :, w:] = 4
-    rmeta = np.zeros((G, R, 128), np.int32)
-    rmeta[:, :, 1] = (m + 15) // 16 * 16
     cd = jax.device_put(codes)
-    md = jax.device_put(rmeta)
-    qrow = eng._qwin2[(False, fwin)]
+    qp = eng._qwin3[fwin]
 
     def run():
-        out = ktpu._wscan_call(cd, md, qrow, m=m, sstart=eng.win_sstart,
-                               fwin=fwin, wcols=wcols)
+        out = ktpu._wfwd_call(cd, qp, wcols=wcols, fwin=fwin)
         np.asarray(out[0, 0, :1])
 
     run()
@@ -162,6 +160,62 @@ def bench_e2e_meg3():
         os.chdir(prev_cwd)
 
 
+# --- roofline model (VERDICT r4 item 5) -------------------------------------
+# v5e VPU: (8, 128) vector lanes per op, ~940 MHz.  Probed on this
+# hardware (round 4, scripts/probe_wkernel + sweep_unroll): issue rate
+# ~1 vector ALU op/cycle on both scan and window kernels, no dual-issue
+# headroom, no packed int16 ALU.  Speed of light for an elementwise DP
+# kernel is therefore clock * 1024 / (ops per padded cell).
+_VPU_CLOCK = 0.94e9
+_VPU_LANES = 8 * 128
+# hand-counted vector ops per (column x (rows, lanes) tile) — i.e. per
+# padded cell — on the critical inner loop (kernels/tpu.py):
+#   scan v2 (fused, fwin 64): code-sel 1 + score 2 + E 3 + diag 2 +
+#     tmp 3 + run 1 + prefix 12 + fv 2 + hn 1 + colmax-reduce ~4 +
+#     emit 2 + roll 1 ~= 34
+#   window v3 fwd (64-class avg, phased prefix ~10.4): 1+2+3+1+3+1+
+#     10.4+2+1+3(key)+1 ~= 28
+#   window v2 rev (64-class): v3 chain + per-row masks 2 + kmask-key
+#     reduce ~6 + emit 2 - key 3 ~= 38
+_OPS_PER_CELL = {"scan_v2": 34, "window_v3_fwd": 28, "window_v2_rev": 38}
+
+
+def roofline(executed_gcups: float, win_gcups: float, eng, rna) -> dict:
+    """Measured rates vs the 1-op/cycle VPU model.  sol = speed of
+    light at the hand-counted op budget; issue_rate ~1.0 means the
+    kernel runs at the machine limit for its op count — the SURVEY §6
+    50-300 GCUPS/chip north-star is unreachable on v5e below ~25
+    essential ops/cell (see ROADMAP.md round-5 revision)."""
+    out = {"vpu_model": "1 vector ALU op/cycle x (8,128) lanes @ 0.94 GHz",
+           "kernels": {}}
+    m16 = eng.m16
+    for name, gcups, mp, extra_pad in (
+            ("scan_v2", executed_gcups, getattr(eng, "mp2", m16), 1.0),
+            ("window_v3_fwd", win_gcups,
+             _ru(eng.win_sstart + 128, 128) if hasattr(eng, "win_sstart")
+             else m16, 1.0)):
+        ops = _OPS_PER_CELL[name]
+        pad = mp / m16 * extra_pad
+        sol = _VPU_CLOCK * _VPU_LANES / ops / pad / 1e9
+        out["kernels"][name] = {
+            "gcups_measured": round(gcups, 1),
+            "ops_per_padded_cell_est": ops,
+            "lane_padding": round(pad, 3),
+            "sol_gcups_at_op_budget": round(sol, 1),
+            "implied_issue_ops_per_cycle": round(gcups / sol, 2),
+        }
+    out["north_star_note"] = (
+        "SURVEY §6's 50-300 GCUPS/chip assumed multi-slot issue or a "
+        "lower op budget; at the measured 1-op/cycle limit the ceiling "
+        "for a ~30-op DP cell is ~30-36 GCUPS/chip on v5e — formally "
+        "revised in ROADMAP.md (r5); packed int16 (2x) needs TPU v6")
+    return out
+
+
+def _ru(x, m):
+    return (x + m - 1) // m * m
+
+
 def main() -> int:
     from fasim_tpu.io import fasta
 
@@ -185,6 +239,7 @@ def main() -> int:
         "kernel_gcups_effective": round(effective, 2),
         "kernel_vs_baseline": round(effective / BASELINE_GCUPS, 2),
         "window_gcups": round(win, 2),
+        "roofline": roofline(executed, win, eng, rna),
         "stages": {k: v for k, v in stages.items()
                    if not k.startswith("n_")},
     }))

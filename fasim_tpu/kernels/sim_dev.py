@@ -27,6 +27,20 @@ Exactness notes:
     <= -Q-R < 0 and can never win a cell (restart floors at 0), so
     -inf fills are equivalent.
 
+Why the full-matrix fetch cannot be compacted (round-5 finding): the
+add_node threshold quirk makes the qualifying stream ~18% of the
+matrix (up to ~4M cells per H19-sized pair, measured), and the node
+list it feeds evicts the lowest-score node UNCONDITIONALLY when full
+(sim.h:99-148 — even for a lower-scoring new start) while integrating
+a per-node bounding box over every same-start cell (the recompute
+region input, sim.h:892-1141).  The final list is a sequential fold
+over the full stream — no top-K / per-start device reduction
+reproduces it, so ~32 MB/pair of payload is irreducible and a
+tunnel-attached chip cannot beat the host C++ path (ROADMAP.md r5).
+This path therefore stays opt-in (FASIM_SIM_DEVICE=1) for
+direct-attached deployments; -F acceleration on slow links comes from
+the host pair fan-out (scan/batched.py _sim_pool).
+
 Reference: /root/reference/sim.h:511-567 (forward scan).
 """
 

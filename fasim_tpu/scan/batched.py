@@ -59,6 +59,22 @@ except OSError:
     _LIBC = None
 
 
+def pin_mmap_threshold() -> None:
+    """Pin glibc's mmap threshold (streaming/genome runs): glibc
+    otherwise raises it dynamically (up to 32 MB) after the first large
+    frees, after which every MB-sized host mirror lands on the heap and
+    freed pages are never returned — the measured ~21 MB per input-Mb
+    RSS slope of GENOME_r5's first 100 Mb run.  With >= 256 KB
+    allocations mmap'ed, frees munmap immediately and peak RSS is
+    O(live set).  Measured on the 100 Mb artifact: peak RSS only
+    3142 -> 2995 MB but wall +54% (the host finalize pays mmap page
+    faults on every reused buffer), so this is opt-in
+    (FASIM_MMAP_PIN=1) — the retention is NOT dominated by
+    heap-threshold growth."""
+    if _LIBC is not None and os.environ.get("FASIM_MMAP_PIN") == "1":
+        _LIBC.mallopt(-3, 1 << 18)  # M_MMAP_THRESHOLD
+
+
 _SIM_POOL = None
 
 
@@ -314,6 +330,15 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
                     return cm_cache["cm"][sel]
                 return np.asarray(cm_dev[sel])
 
+            def cm_fallback(i):
+                # banded-traceback-error fallback (never observed):
+                # recompute this batch's colmax on device instead of
+                # pinning cm_dev (~16 MB/batch) in every queued batch
+                # closure for the lifetime of the dispatch window — the
+                # scan is deterministic, so the row is identical
+                _, cm2 = eng.scan_segments(segs, lengths)[:2]
+                return np.asarray(cm2)[i]
+
             with STAGES.timer("device_wait"):
                 gm = np.asarray(gm_dev)
                 packed = None
@@ -351,7 +376,7 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
             if use_windows:
                 return candidate_stage_batch(
                     p, rna, q_idx, rna_b, meta, batch, segs, lengths, gm,
-                    cm_get, packed, eng, pool)
+                    cm_get, packed, eng, pool, cm_fallback=cm_fallback)
             cm = cm_cache.get("cm")
             if cm is None:
                 cm = np.asarray(cm_dev)
@@ -520,6 +545,7 @@ def scan_file_stream(p: Params, engine, batch_pairs: int = 64,
     post.store.print_result_store (tests/test_store.py)."""
     from ..post.store import TriplexStore
 
+    pin_mmap_threshold()
     lnc_name, rna = fasta.read_rna(p.file2path)
     metas: list[RecordMeta] = []
 

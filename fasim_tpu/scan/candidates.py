@@ -138,7 +138,7 @@ def _scan_strings(meta, seg: np.ndarray, k: int):
 def candidate_stage_batch(p: Params, rna: np.ndarray, q_idx: np.ndarray,
                           rna_b: bytes, meta, batch, segs: np.ndarray,
                           lengths: np.ndarray, gm: np.ndarray, cm_get,
-                          packed, eng, pool) -> list:
+                          packed, eng, pool, cm_fallback=None) -> list:
     """Run the candidate stage for one device batch.  batch is the list
     of _Work items; segs/lengths the batch's padded device-input arrays;
     gm int32[B, K]; cm_get(i) lazily yields segment i's full uint8[K, N]
@@ -331,14 +331,19 @@ def candidate_stage_batch(p: Params, rna: np.ndarray, q_idx: np.ndarray,
         meta5[wi, 3] = query_begin.astype(np.int32)
         meta5[wi, 4] = c_erow[wi].astype(np.int32)
 
-    # 4. finalize per segment on the pool (banded + convert + dedup)
+    # 4. finalize per segment on the pool (banded + convert + dedup).
+    # The fallback row accessor deliberately does NOT close over the
+    # batch's device colmax (cm_fallback recomputes it on the
+    # never-observed banded-error path) so the device arrays free as
+    # soon as this function returns, not when the batch is consumed.
+    cm_fb = cm_fallback if cm_fallback is not None else cm_get
     outs = []
     for i, w in enumerate(batch):
         sel = np.flatnonzero((seg_i == i) & winner)
         outs.append((w, pool.submit(
             _finalize_segment, p, rna, q_idx, rna_b, meta, w,
             scan_i[sel], meta5[sel], gm[i],
-            (lambda i=i: cm_get(i)))))
+            (lambda i=i: cm_fb(i)))))
     return outs
 
 
