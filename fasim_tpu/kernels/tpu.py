@@ -233,8 +233,16 @@ class TpuScanEngine:
         # chip (committed arrays); independent engines on different chips
         # run embarrassingly parallel with no collectives (scan/batched.py)
         self.device = device
-        self._put = (jnp.asarray if device is None
-                     else functools.partial(jax.device_put, device=device))
+        _raw_put = (jnp.asarray if device is None
+                    else functools.partial(jax.device_put, device=device))
+        self.upload_bytes = 0  # host->device bytes (axon retains them)
+
+        def _put(a, _raw=_raw_put):
+            if isinstance(a, np.ndarray):
+                self.upload_bytes += a.nbytes
+            return _raw(a)
+
+        self._put = _put
         self.unroll = unroll if unroll > 0 else int(
             os.environ.get("FASIM_UNROLL", "1"))
         self.interpret = interpret
@@ -343,14 +351,17 @@ class TpuScanEngine:
         self._scan_luts6 = (self._put(lut6_s), self._put(lut6_t),
                             self._put(istr))
 
-    def scan_segments(self, segs: np.ndarray, lengths: np.ndarray,
-                      full_prefix: bool = False):
+    def scan_segments(self, segs, lengths: np.ndarray,
+                      full_prefix: bool = False, host_segs=None):
         """Device-side scan of raw segments (uint8[S, N], N % 128 == 0,
-        pad byte 0).  Returns JAX arrays (thresh int32[S, T], scan colmax
-        uint8[S, T, N]) — the caller device_gets them, enabling async
-        batch pipelining.  Caller must check thresh >= BYTE_SAT and rerun
-        with full_prefix=True for exact escalated thresholds."""
-        fused = self.query_pure and bool(_PURE_OR_PAD[segs].all())
+        pad byte 0; may be an already-uploaded device array — pass the
+        host bytes as host_segs then, for the purity check).  Returns
+        JAX arrays (thresh int32[S, T], scan colmax uint8[S, T, N]) —
+        the caller device_gets them, enabling async batch pipelining.
+        Caller must check thresh >= BYTE_SAT and rerun with
+        full_prefix=True for exact escalated thresholds."""
+        chk = host_segs if host_segs is not None else segs
+        fused = self.query_pure and bool(_PURE_OR_PAD[np.asarray(chk)].all())
         fwin_t = _FULL_WIN if full_prefix else 64
         if self.use_v2:
             lut6_s, lut6_t, istr = self._scan_luts6
@@ -566,17 +577,42 @@ class TpuScanEngine:
 
     def scan_segments_packed(self, segs: np.ndarray, lengths: np.ndarray):
         """scan_segments + device-side candidate packing: returns
-        (thresh_dev, cm_dev, pos_dev, val_dev, cnt_dev) — cm_dev is the
-        resident full colmax handle for escalation/overflow fallbacks
-        (only sliced rows are ever transferred)."""
-        thresh, cm = self.scan_segments(segs, lengths)
+        (thresh_dev, cm_dev, pos_dev, val_dev, cnt_dev, segs_dev) —
+        cm_dev is the resident full colmax handle for escalation/
+        overflow fallbacks (only sliced rows are ever transferred);
+        segs_dev is the batch's uploaded segment bytes, which the
+        window passes reuse so the batch uploads them ONCE (the axon
+        client retains every uploaded buffer — scan/batched.py r5
+        leak finding — so upload bytes are a resource, not just
+        latency)."""
+        segs_d = self._put(segs)
+        thresh, cm = self.scan_segments(segs_d, lengths, host_segs=segs)
         if segs.shape[1] > 32767:
             # packed positions are int16: a cut_length beyond int16 range
             # would wrap silently — serve the full colmax path instead
             return thresh, cm
         lens = self._put(np.asarray(lengths, np.int32))
         pos, val, cnt = _pack_candidates(thresh, cm, lens, k=self.PACK_K)
-        return thresh, cm, pos, val, cnt
+        return thresh, cm, pos, val, cnt, segs_d
+
+    def _upload_specs(self, spec: dict, keys, idx, bucket: int, dt,
+                      fills: np.ndarray):
+        """Gather spec columns for `idx`, upload at the smallest ladder
+        size >= len(idx), and pad to `bucket` on device with per-row
+        fill values — the Mosaic kernels still see fixed (bucket,)
+        specs, but the upload (whose bytes the axon client retains, and
+        which crosses a slow link) shrinks to the occupied prefix."""
+        take = len(idx)
+        lad = next((b for b in (512, 1024, 2048) if b >= take), bucket)
+        lad = min(lad, bucket)
+        cols = np.empty((len(keys), lad), dt)
+        for r, k in enumerate(keys):
+            cols[r, :take] = spec[k][idx]
+            cols[r, take:] = fills[r]
+        cols_d = _pad_spec_cols(self._put(cols),
+                                self._put(fills.astype(np.int32)),
+                                bucket=bucket)
+        return {k: cols_d[r] for r, k in enumerate(keys)}
 
     # production path: specs in (~26 B/row), ends out (12 B/row) — the
     # window codes are gathered on device from the batch's resident
@@ -639,21 +675,20 @@ class TpuScanEngine:
                 ladder = (bsz,)
             else:
                 ladder = self.WIN_BUCKETS[w]
+            # one ladder-sized upload per part, int16 when every field
+            # fits (upload bytes are retained by the axon client)
+            narrow = (v2 and segs.shape[1] <= 32767
+                      and self.m + 16 <= 32767)
+            dtp = np.int16 if narrow else np.int32
+            fills = np.array([0, 0, 0, 1, 0, 0, -1, 0], dtp)
             lo = 0
             while lo < len(sel):
                 n = len(sel) - lo
                 bucket = next((b for b in ladder if b >= n), ladder[-1])
                 take = min(n, bucket)
                 idx = sel[lo:lo + take]
-                part = {}
-                for k in self._SPEC_KEYS:
-                    a = np.zeros(bucket, np.int32)
-                    a[:take] = spec[k][idx]
-                    if k == "terms":
-                        a[take:] = -1
-                    if k == "dirn":
-                        a[take:] = 1
-                    part[k] = self._put(a)
+                part = self._upload_specs(spec, self._SPEC_KEYS, idx,
+                                          bucket, dtp, fills)
                 if v2:
                     wcols, fwin = _WCLASSES[w]
                     # uniform (1, Mp) masks measured ~10% SLOWER than
@@ -709,6 +744,14 @@ class TpuScanEngine:
         klass = np.full(len(rl), _WWIN)
         for w in reversed(widths):
             klass = np.where(rl <= w, w, klass)
+        # upload bytes are a resource (the axon client retains every
+        # uploaded buffer): ship the four spec columns as one
+        # ladder-sized int16 array when values fit (seg/scan idx and
+        # rlens always do; base <= N-1, guarded), int32 otherwise
+        narrow = segs.shape[1] <= 32767
+        dt = np.int16 if narrow else np.int32
+        fwd_keys = ("seg_idx", "scan_idx", "base", "rlens")
+        fills = np.zeros(4, dt)
         pending = []
         for w in widths:
             sel = np.flatnonzero(klass == w)
@@ -719,11 +762,8 @@ class TpuScanEngine:
             while lo < len(sel):
                 take = min(len(sel) - lo, bsz)
                 idx = sel[lo:lo + take]
-                part = {}
-                for k in ("seg_idx", "scan_idx", "base", "rlens"):
-                    a = np.zeros(bsz, np.int32)
-                    a[:take] = spec[k][idx]
-                    part[k] = self._put(a)
+                part = self._upload_specs(spec, fwd_keys, idx, bsz, dt,
+                                          fills)
                 wcols, fwin = _WCLASSES[w]
                 dev = _wspecs_fwd_call(
                     segs_d, lens_d, lut_s, is_tr, self._qwin3[fwin],
@@ -1101,6 +1141,17 @@ def _device_scan2(segs, lengths, lut6_s, lut6_t, istr, qp2_s, qp2_t,
 # See scan/candidates.py for the exactness contract (offsets emulate
 # reversed-prefix queries; mreal is the per-row phantom-row bound of the
 # byte/word pass).
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _pad_spec_cols(cols, fills, *, bucket: int):
+    """(nk, lad) spec columns -> (nk, bucket), per-row fill values."""
+    nk, lad = cols.shape
+    if lad >= bucket:
+        return cols
+    pad = jnp.broadcast_to(fills[:, None],
+                           (nk, bucket - lad)).astype(cols.dtype)
+    return jnp.concatenate([cols, pad], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -1635,7 +1686,10 @@ def _wspecs_call(segs, lengths, lut_s, is_tr, qrow, seg_idx, scan_idx,
     """Device-side window build + v2 pass + ends reduction in one
     program (the v2 analogue of _window_specs_call; the spec contract
     and output are identical — int32[rows, 3] (best, end_col,
-    end_row))."""
+    end_row)).  Spec arrays may arrive int16 (narrow upload path)."""
+    seg_idx, scan_idx, base, dirn, rlens, offs, terms, mreals = (
+        a.astype(jnp.int32) for a in (seg_idx, scan_idx, base, dirn,
+                                      rlens, offs, terms, mreals))
     S, N = segs.shape
     rows = seg_idx.shape[0]
     Wp = max(_CHUNK, wcols)
@@ -1854,7 +1908,12 @@ def _wspecs_fwd_call(segs, lengths, lut_s, is_tr, qp, seg_idx, scan_idx,
                      fwin: int, R: int, interpret: bool = False):
     """Device-side window build + v3 fwd pass + ends epilogue (the
     forward-specialized analogue of _wspecs_call; output contract
-    identical: int32[rows, 3] (best, end_col, end_row))."""
+    identical: int32[rows, 3] (best, end_col, end_row)).  Spec arrays
+    may arrive int16 (narrow upload path)."""
+    seg_idx = seg_idx.astype(jnp.int32)
+    scan_idx = scan_idx.astype(jnp.int32)
+    base = base.astype(jnp.int32)
+    rlens = rlens.astype(jnp.int32)
     S, N = segs.shape
     rows = seg_idx.shape[0]
     Wp = max(_CHUNK, wcols)

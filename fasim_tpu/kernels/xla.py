@@ -112,7 +112,7 @@ class XlaScanEngine:
         self._scan_luts = (lut_s, lut_t, is_tr)
 
     def scan_segments(self, segs: np.ndarray, lengths: np.ndarray,
-                      full_prefix: bool = False):
+                      full_prefix: bool = False, host_segs=None):
         """CPU/XLA equivalent of TpuScanEngine.scan_segments: builds the
         transform codes with the same reversal-index semantics, runs the
         exact XLA kernel, returns (thresh int32[S, T], colmax uint8[S, T,

@@ -320,6 +320,10 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
 
         def process_batch(batch, segs, lengths, eng, out):
             gm_dev, cm_dev = out[0], out[1]
+            # reuse the scan's uploaded segment bytes for the window
+            # passes: the axon client retains every uploaded buffer
+            # (round-5 leak probe), so each batch must upload segs once
+            segs_win = out[5] if len(out) > 5 else segs
             cm_cache: dict = {}
 
             def cm_get(sel):
@@ -347,7 +351,8 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
                     # the full-length prefix pass (rare); the packed
                     # candidates used the stale threshold — drop them
                     gm = np.asarray(eng.scan_segments(
-                        segs, lengths, full_prefix=True)[0])
+                        segs_win, lengths, full_prefix=True,
+                        host_segs=segs)[0])
                     cm_cache["cm"] = np.asarray(cm_dev)
                 elif len(out) > 2:
                     # count-then-slice fetch: the counts (few KB) come
@@ -375,8 +380,9 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
                     cm_cache["cm"] = np.asarray(cm_dev)
             if use_windows:
                 return candidate_stage_batch(
-                    p, rna, q_idx, rna_b, meta, batch, segs, lengths, gm,
-                    cm_get, packed, eng, pool, cm_fallback=cm_fallback)
+                    p, rna, q_idx, rna_b, meta, batch, segs_win, lengths,
+                    gm, cm_get, packed, eng, pool,
+                    cm_fallback=cm_fallback)
             cm = cm_cache.get("cm")
             if cm is None:
                 cm = np.asarray(cm_dev)

@@ -157,6 +157,13 @@ def main() -> int:
         "peak_rss_mb": round(rss_mb, 1),
         "rss_scan_end_mb": round(rss_scan_end, 1),
         "rss_post_end_mb": round(rss_post_end, 1),
+        # the axon client retains every uploaded host buffer (round-5
+        # minimal repro: a bare upload+exec+fetch jax loop leaks 100%
+        # of upload bytes; fetches are clean).  Uploaded bytes ~= the
+        # leaked-RSS share attributable to the environment, not the
+        # framework; peak_rss - upload accounts for a healthy client.
+        "upload_mb_leak_bound": round(sum(
+            getattr(e, "upload_bytes", 0) for e in engines) / 1e6, 1),
         "rss_peak_by_phase_mb": {
             ph: max((r for _, r, p2 in rss_samples if p2 == ph),
                     default=0.0)
