@@ -90,9 +90,14 @@ def bench_window(eng, rna):
     cd = jax.device_put(codes)
     qp = eng._qwin3[fwin]
 
+    chain = 4  # dispatches per sync: one ~30 ms link RTT would
+    # otherwise dominate a ~60 ms kernel run and measure the link
+
     def run():
-        out = ktpu._wfwd_call(cd, qp, wcols=wcols, fwin=fwin)
-        np.asarray(out[0, 0, :1])
+        outs = [ktpu._wfwd_call(cd, qp, wcols=wcols, fwin=fwin)
+                for _ in range(chain)]
+        for o in outs:
+            np.asarray(o[0, 0, :1])
 
     run()
     reps = 5
@@ -100,7 +105,7 @@ def bench_window(eng, rna):
     for _ in range(reps):
         run()
     dt = (time.time() - t0) / reps
-    return rows * w * m / dt / 1e9
+    return chain * rows * w * m / dt / 1e9
 
 
 def run_e2e_meg3(p, engines, tpu):

@@ -267,12 +267,14 @@ def scan_work(p: Params, rna: np.ndarray, work: list[_Work],
     n_max = max(len(w.segment) for w in work)
     n_pad = (n_max + 127) // 128 * 128
     return list(iter_scan_work(p, rna, iter(work), scans, engine, n_pad,
-                               batch_pairs, host_threads, max_inflight))
+                               batch_pairs, host_threads, max_inflight,
+                               n_work_hint=len(work)))
 
 
 def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
                    engine, n_pad: int, batch_pairs: int = 32,
-                   host_threads: int = 0, max_inflight: int = 8):
+                   host_threads: int = 0, max_inflight: int = 8,
+                   n_work_hint: int = -1):
     """Streaming scan core: consume a lazy work iterator, keep at most
     `max_inflight` device batches in flight per device, yield (work item,
     hits) in input order.
@@ -308,7 +310,13 @@ def iter_scan_work(p: Params, rna: np.ndarray, work_iter, scans: list[dict],
     if os.environ.get("FASIM_PREWARM", "1") == "1":
         from .prewarm import prewarm_engines
 
-        prewarm_engines(engines, n_pad, batch_pairs, use_windows)
+        # tiny jobs (an H19-demo-sized input is 1 batch) skip the window
+        # prewarm: it would queue compiles for width classes the job may
+        # never dispatch, and the single-client backend serializes them
+        # ahead of the needed ones
+        small = 0 <= n_work_hint <= 2 * batch_pairs
+        prewarm_engines(engines, n_pad, batch_pairs,
+                        use_windows and not small)
     # one stage thread per in-flight batch: the candidate stage's device
     # round-trips (sweep rounds) overlap across batches
     # stage workers are capped: with max_inflight=0 ("dispatch everything

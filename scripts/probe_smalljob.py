@@ -67,7 +67,26 @@ def main() -> int:
     with open(path, "rb") as f1, open(golden, "rb") as f2:
         ident = f1.read() == f2.read()
     print(f"total {time.time() - T0:.2f}s  identical={ident}")
+    rerun(p, engines, tpu)
     return 0
+
+
+
+
+def rerun(p, engines, tpu):
+    """In-process warm repeats = the long-lived service number."""
+    from fasim_tpu.post.output import print_result
+    from fasim_tpu.scan.batched import scan_file_batched
+
+    for i in range(3):
+        t0 = time.time()
+        records, lnc, _, tlist = scan_file_batched(
+            p, engines, batch_pairs=tpu.segments_per_batch,
+            max_inflight=tpu.max_inflight)
+        first = records[0]
+        print_result(p, first.species, lnc, tlist, first.chro_tag,
+                     len(first.seq), first.start_genome)
+        print(f"warm rep{i}: {time.time() - t0:.2f}s")
 
 
 if __name__ == "__main__":
